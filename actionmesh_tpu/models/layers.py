@@ -1,0 +1,307 @@
+"""Functional NN layers: (params pytree, pure apply) pairs.
+
+Every model in the framework is a pytree of parameters plus pure apply
+functions, so whole pipeline stages jit/pjit-compile into single XLA
+programs. Parameter naming mirrors the reference's diffusers modules
+(to_q/to_k/to_v/to_out, net.0/net.2, ...) so the safetensors->JAX converter
+(utils/weights.py) is a mechanical rename+transpose.
+
+Precision policy (matches the reference's autocast islands):
+  * linear kernels are stored in the inference compute dtype (bf16 on TPU);
+  * all layer norms compute in float32 (diffusers FP32LayerNorm);
+  * qk rms-norm, RoPE, and softmax are float32 (see ops/).
+
+Reference: actionmesh/model/utils/block.py:19-154, diffusers Attention.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from actionmesh_tpu.ops.attention import dot_product_attention
+from actionmesh_tpu.ops.rotary import apply_rotary_embedding
+
+Params = dict
+
+
+# ---------------------------------------------------------------------------
+# Initializers (LeCun-uniform matching torch.nn.Linear defaults)
+# ---------------------------------------------------------------------------
+
+def init_linear(
+    key: jax.Array,
+    in_dim: int,
+    out_dim: int,
+    bias: bool = True,
+    dtype: jnp.dtype = jnp.float32,
+) -> Params:
+    """Kaiming-uniform init like torch.nn.Linear: U(-1/sqrt(in), 1/sqrt(in))."""
+    kkey, bkey = jax.random.split(key)
+    bound = 1.0 / math.sqrt(in_dim)
+    params = {
+        "kernel": jax.random.uniform(
+            kkey, (in_dim, out_dim), dtype=jnp.float32, minval=-bound, maxval=bound
+        ).astype(dtype)
+    }
+    if bias:
+        params["bias"] = jax.random.uniform(
+            bkey, (out_dim,), dtype=jnp.float32, minval=-bound, maxval=bound
+        ).astype(dtype)
+    return params
+
+
+def init_layer_norm(dim: int) -> Params:
+    return {
+        "scale": jnp.ones((dim,), jnp.float32),
+        "bias": jnp.zeros((dim,), jnp.float32),
+    }
+
+
+def init_rms_norm(dim: int) -> Params:
+    return {"scale": jnp.ones((dim,), jnp.float32)}
+
+
+# ---------------------------------------------------------------------------
+# Apply functions
+# ---------------------------------------------------------------------------
+
+def linear(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    w = params["kernel"]
+    y = jnp.dot(x.astype(w.dtype), w)
+    if "bias" in params:
+        y = y + params["bias"]
+    return y
+
+
+def layer_norm(params: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """Float32 layer norm (diffusers FP32LayerNorm); returns x.dtype."""
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * params["scale"].astype(jnp.float32) + params["bias"].astype(jnp.float32)
+    return y.astype(orig_dtype)
+
+
+def rms_norm(params: Params, x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """Float32 RMS norm over the last axis; returns x.dtype."""
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    y = xf * jax.lax.rsqrt(var + eps)
+    y = y * params["scale"].astype(jnp.float32)
+    return y.astype(orig_dtype)
+
+
+def gelu_exact(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact erf GELU (torch nn.GELU default; jax default is tanh approx)."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def feed_forward(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """diffusers FeedForward('gelu'): Linear -> GELU -> Linear."""
+    h = gelu_exact(linear(params["net_0"], x))
+    return linear(params["net_2"], h)
+
+
+def init_feed_forward(
+    key: jax.Array, dim: int, inner_dim: int, bias: bool = True,
+    dtype: jnp.dtype = jnp.float32,
+) -> Params:
+    k0, k2 = jax.random.split(key)
+    return {
+        "net_0": init_linear(k0, dim, inner_dim, bias=bias, dtype=dtype),
+        "net_2": init_linear(k2, inner_dim, dim, bias=bias, dtype=dtype),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Multi-head attention layer (diffusers Attention + custom processor)
+# ---------------------------------------------------------------------------
+
+def init_attention(
+    key: jax.Array,
+    query_dim: int,
+    heads: int,
+    cross_attention_dim: Optional[int] = None,
+    qk_norm: bool = False,
+    cross_norm: Optional[str] = None,
+    bias: bool = False,
+    out_bias: bool = True,
+    dtype: jnp.dtype = jnp.float32,
+) -> Params:
+    kv_dim = cross_attention_dim if cross_attention_dim is not None else query_dim
+    dim_head = query_dim // heads
+    kq, kk, kv, ko = jax.random.split(key, 4)
+    params: Params = {
+        "to_q": init_linear(kq, query_dim, query_dim, bias=bias, dtype=dtype),
+        "to_k": init_linear(kk, kv_dim, query_dim, bias=bias, dtype=dtype),
+        "to_v": init_linear(kv, kv_dim, query_dim, bias=bias, dtype=dtype),
+        "to_out": init_linear(ko, query_dim, query_dim, bias=out_bias, dtype=dtype),
+    }
+    if qk_norm:
+        params["norm_q"] = init_rms_norm(dim_head)
+        params["norm_k"] = init_rms_norm(dim_head)
+    if cross_norm == "layer_norm":
+        params["norm_cross"] = init_layer_norm(kv_dim)
+    return params
+
+
+def attention(
+    params: Params,
+    hidden_states: jnp.ndarray,
+    heads: int,
+    encoder_hidden_states: Optional[jnp.ndarray] = None,
+    freqs_rot: Optional[tuple[jnp.ndarray, jnp.ndarray]] = None,
+    kv_mask: Optional[jnp.ndarray] = None,
+    attn_impl: str = "auto",
+) -> jnp.ndarray:
+    """Multi-head (self or cross) attention on (B, S, D) activations.
+
+    Matches reference AttentionProcessor (attention_processor.py:36-168):
+    optional per-head rms qk-norm, optional RoPE on q and k, fused SDPA with
+    fp32 softmax, output projection.
+    """
+    B, S, _ = hidden_states.shape
+    kv_src = (
+        hidden_states if encoder_hidden_states is None else encoder_hidden_states
+    )
+    if encoder_hidden_states is not None and "norm_cross" in params:
+        kv_src = layer_norm(params["norm_cross"], kv_src)
+
+    q = linear(params["to_q"], hidden_states)
+    k = linear(params["to_k"], kv_src)
+    v = linear(params["to_v"], kv_src)
+
+    dim_head = q.shape[-1] // heads
+    # (B, S, H*Dh) -> (B, H, S, Dh)
+    q = q.reshape(B, S, heads, dim_head).transpose(0, 2, 1, 3)
+    k = k.reshape(B, -1, heads, dim_head).transpose(0, 2, 1, 3)
+    v = v.reshape(B, -1, heads, dim_head).transpose(0, 2, 1, 3)
+
+    if "norm_q" in params:
+        q = rms_norm(params["norm_q"], q)
+    if "norm_k" in params:
+        k = rms_norm(params["norm_k"], k)
+
+    if freqs_rot is not None:
+        cos, sin = freqs_rot
+        q = apply_rotary_embedding(q, cos, sin)
+        k = apply_rotary_embedding(k, cos, sin)
+
+    out = dot_product_attention(q, k, v, kv_mask=kv_mask, impl=attn_impl)
+    out = out.transpose(0, 2, 1, 3).reshape(B, S, heads * dim_head)
+    return linear(params["to_out"], out)
+
+
+# ---------------------------------------------------------------------------
+# FlowMatchingBlock
+# ---------------------------------------------------------------------------
+
+def init_flow_matching_block(
+    key: jax.Array,
+    dim: int,
+    num_attention_heads: int,
+    use_self_attention: bool = True,
+    use_cross_attention: bool = True,
+    cross_attention_dim: Optional[int] = None,
+    cross_attention_norm: Optional[str] = None,
+    attention_qk_norm: bool = True,
+    attention_bias: bool = True,
+    ff_inner_dim: Optional[int] = None,
+    skip: bool = False,
+    dtype: jnp.dtype = jnp.float32,
+) -> Params:
+    keys = jax.random.split(key, 4)
+    params: Params = {}
+    if use_self_attention:
+        params["norm_s_attn"] = init_layer_norm(dim)
+        params["s_attn"] = init_attention(
+            keys[0], dim, num_attention_heads,
+            qk_norm=attention_qk_norm, bias=attention_bias, dtype=dtype,
+        )
+    if use_cross_attention:
+        assert cross_attention_dim is not None
+        params["norm_x_attn"] = init_layer_norm(dim)
+        params["x_attn"] = init_attention(
+            keys[1], dim, num_attention_heads,
+            cross_attention_dim=cross_attention_dim,
+            qk_norm=attention_qk_norm,
+            cross_norm=cross_attention_norm,
+            bias=attention_bias, dtype=dtype,
+        )
+    params["norm_ff"] = init_layer_norm(dim)
+    params["ff"] = init_feed_forward(
+        keys[2], dim, ff_inner_dim if ff_inner_dim is not None else 4 * dim,
+        dtype=dtype,
+    )
+    if skip:
+        params["norm_skip"] = init_layer_norm(dim)
+        params["linear_skip"] = init_linear(keys[3], 2 * dim, dim, dtype=dtype)
+    return params
+
+
+def flow_matching_block(
+    params: Params,
+    hidden_states: jnp.ndarray,
+    num_attention_heads: int,
+    encoder_hidden_states: Optional[jnp.ndarray] = None,
+    freqs_rot: Optional[tuple[jnp.ndarray, jnp.ndarray]] = None,
+    skip: Optional[jnp.ndarray] = None,
+    inflate_n_frames: Optional[int] = None,
+    attn_impl: str = "auto",
+) -> jnp.ndarray:
+    """Pre-norm transformer block with optional U-skip concat.
+
+    With ``inflate_n_frames=T``, self-attention is "inflated": the per-frame
+    layout (B*T, N, D) reshapes to the cross-frame sequence (B, T*N, D) for
+    the attention only (reference: attention_processor.py:49-65,161-166).
+    The reshape is free under XLA. Cross-attention and FF stay per-frame.
+    ``freqs_rot`` must already match the self-attention layout (inflated
+    when inflating).
+    """
+    from actionmesh_tpu.ops.tensor_ops import (
+        flat_batch_to_flat_seq,
+        flat_seq_to_flat_batch,
+    )
+
+    if "linear_skip" in params:
+        assert skip is not None
+        cat = jnp.concatenate([skip, hidden_states], axis=-1)
+        hidden_states = layer_norm(
+            params["norm_skip"], linear(params["linear_skip"], cat)
+        )
+
+    if "s_attn" in params:
+        normed = layer_norm(params["norm_s_attn"], hidden_states)
+        if inflate_n_frames is not None:
+            normed = flat_batch_to_flat_seq(normed, inflate_n_frames)
+        att = attention(
+            params["s_attn"],
+            normed,
+            heads=num_attention_heads,
+            freqs_rot=freqs_rot,
+            attn_impl=attn_impl,
+        )
+        if inflate_n_frames is not None:
+            att = flat_seq_to_flat_batch(att, inflate_n_frames)
+        hidden_states = hidden_states + att
+
+    if "x_attn" in params:
+        hidden_states = hidden_states + attention(
+            params["x_attn"],
+            layer_norm(params["norm_x_attn"], hidden_states),
+            heads=num_attention_heads,
+            encoder_hidden_states=encoder_hidden_states,
+            attn_impl=attn_impl,
+        )
+
+    hidden_states = hidden_states + feed_forward(
+        params["ff"], layer_norm(params["norm_ff"], hidden_states)
+    )
+    return hidden_states

@@ -1,0 +1,168 @@
+"""Multi-head attention dispatch: Pallas flash kernel / chunked XLA fallback.
+
+The reference hard-requires fused SDPA because Stage I self-attention spans
+T*(N+1) ~= 32,784 tokens (reference: actionmesh/model/utils/
+attention_processor.py:25-34,133-139) — a materialized score matrix would be
+~68 GB. On TPU we provide:
+
+  * ``flash``   — a Pallas fused flash-attention kernel (ops/flash_attention.py),
+                  fp32 online softmax, used on TPU devices.
+  * ``chunked`` — pure-XLA online-softmax attention scanning over KV blocks;
+                  numerically identical semantics, used on CPU (tests) and as
+                  a safe fallback.
+  * ``naive``   — materialized softmax, for tiny shapes in unit tests.
+
+All variants compute the softmax in float32 and return q.dtype.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def naive_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+    kv_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Reference attention with materialized (S, Skv) scores. Test-only."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if kv_mask is not None:
+        scores = jnp.where(kv_mask[:, None, None, :], scores, NEG_INF)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)
+
+
+def _pad_axis(x: jnp.ndarray, axis: int, multiple: int) -> tuple[jnp.ndarray, int]:
+    size = x.shape[axis]
+    pad = (-size) % multiple
+    if pad == 0:
+        return x, 0
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (0, pad)
+    return jnp.pad(x, pads), pad
+
+
+def chunked_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+    kv_mask: Optional[jnp.ndarray] = None,
+    q_chunk: int = 512,
+    k_chunk: int = 1024,
+) -> jnp.ndarray:
+    """Memory-efficient attention: online softmax over KV chunks.
+
+    q (B, H, Sq, D); k, v (B, H, Sk, D); kv_mask (B, Sk) True=valid.
+    Peak memory is O(q_chunk * k_chunk) per (B, H) instead of O(Sq * Sk).
+    """
+    orig_dtype = q.dtype
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    B, H, Sq, D = q.shape
+    Sk = k.shape[2]
+
+    q, q_pad = _pad_axis(q, 2, q_chunk)
+    k, k_pad = _pad_axis(k, 2, k_chunk)
+    v, _ = _pad_axis(v, 2, k_chunk)
+    if kv_mask is None:
+        kv_mask = jnp.ones((B, Sk), dtype=bool)
+    kv_mask, _ = _pad_axis(kv_mask, 1, k_chunk)  # pad with False
+
+    n_q = q.shape[2] // q_chunk
+    n_k = k.shape[2] // k_chunk
+
+    # (n_k, B, H, k_chunk, D)
+    k_blocks = jnp.moveaxis(
+        k.reshape(B, H, n_k, k_chunk, D), 2, 0
+    )
+    v_blocks = jnp.moveaxis(
+        v.reshape(B, H, n_k, k_chunk, D), 2, 0
+    )
+    mask_blocks = jnp.moveaxis(kv_mask.reshape(B, n_k, k_chunk), 1, 0)
+
+    def process_q_block(q_blk):
+        # q_blk: (B, H, q_chunk, D)
+        def kv_step(carry, blk):
+            acc, m, l = carry
+            k_blk, v_blk, msk = blk
+            s = jnp.einsum(
+                "bhqd,bhkd->bhqk", q_blk, k_blk,
+                preferred_element_type=jnp.float32,
+            ) * scale
+            s = jnp.where(msk[:, None, None, :], s, NEG_INF)
+            m_new = jnp.maximum(m, s.max(axis=-1))
+            p = jnp.exp(s - m_new[..., None])
+            alpha = jnp.exp(m - m_new)
+            l_new = l * alpha + p.sum(axis=-1)
+            acc_new = acc * alpha[..., None] + jnp.einsum(
+                "bhqk,bhkd->bhqd", p.astype(v_blk.dtype), v_blk,
+                preferred_element_type=jnp.float32,
+            )
+            return (acc_new, m_new, l_new), None
+
+        init = (
+            jnp.zeros((B, H, q_chunk, D), jnp.float32),
+            jnp.full((B, H, q_chunk), NEG_INF, jnp.float32),
+            jnp.zeros((B, H, q_chunk), jnp.float32),
+        )
+        (acc, _, l), _ = jax.lax.scan(
+            kv_step, init, (k_blocks, v_blocks, mask_blocks)
+        )
+        return acc / jnp.maximum(l[..., None], 1e-30)
+
+    q_qblocks = jnp.moveaxis(q.reshape(B, H, n_q, q_chunk, D), 2, 0)
+    out_blocks = jax.lax.map(process_q_block, q_qblocks)  # (n_q, B, H, qc, D)
+    out = jnp.moveaxis(out_blocks, 0, 2).reshape(B, H, n_q * q_chunk, D)
+    if q_pad:
+        out = out[:, :, :Sq]
+    return out.astype(orig_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "impl", "q_chunk", "k_chunk")
+)
+def dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+    kv_mask: Optional[jnp.ndarray] = None,
+    impl: str = "auto",
+    q_chunk: int = 512,
+    k_chunk: int = 1024,
+) -> jnp.ndarray:
+    """Fused multi-head attention. q (B,H,Sq,D), k/v (B,H,Sk,D).
+
+    impl: 'auto' picks the Pallas flash kernel on TPU, chunked XLA otherwise.
+    """
+    if impl == "auto":
+        impl = "flash" if jax.default_backend() == "tpu" else "chunked"
+    if impl == "flash":
+        from actionmesh_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, scale=scale, kv_mask=kv_mask)
+    if impl == "chunked":
+        return chunked_attention(
+            q, k, v, scale=scale, kv_mask=kv_mask, q_chunk=q_chunk, k_chunk=k_chunk
+        )
+    if impl == "naive":
+        return naive_attention(q, k, v, scale=scale, kv_mask=kv_mask)
+    raise ValueError(f"unknown attention impl: {impl}")

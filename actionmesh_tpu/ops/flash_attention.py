@@ -1,0 +1,165 @@
+"""Pallas TPU flash attention (fp32 online softmax, O(S) memory).
+
+Replaces the CUDA SDPA flash kernels the reference depends on
+(reference: actionmesh/model/utils/attention_processor.py:25-34,133-139).
+Stage I inflated self-attention runs this at seq ~32,784 x head_dim 128.
+
+Layout: q (B, H, Sq, D), k/v (B, H, Sk, D), optional kv_mask (B, Sk).
+Sequences are padded to block multiples outside the kernel; padded KV
+positions are masked to -inf, padded Q rows are sliced off afterwards.
+
+Grid iterates (B, H, q_block, k_block) with the KV axis innermost, so the
+fp32 accumulator / running max / running sum live in VMEM scratch across the
+KV sweep — the classic flash-attention recurrence on the MXU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _flash_kernel(
+    q_ref, k_ref, v_ref, mask_ref, o_ref, acc_ref, m_ref, l_ref, *, scale: float
+):
+    k_idx = pl.program_id(3)
+    n_k = pl.num_programs(3)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0, 0]  # (bq, D)
+    k = k_ref[0, 0]  # (bk, D)
+    v = v_ref[0, 0]  # (bk, D)
+    mask = mask_ref[0]  # (bk,) int32: 1 = valid
+
+    s = jax.lax.dot_general(
+        q,
+        k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bq, bk)
+    s = s * scale
+    s = jnp.where(mask[None, :] != 0, s, NEG_INF)
+
+    m_prev = m_ref[:, :1]  # (bq, 1)
+    l_prev = l_ref[:, :1]
+    m_cur = jnp.maximum(m_prev, s.max(axis=-1, keepdims=True))
+    p = jnp.exp(s - m_cur)
+    alpha = jnp.exp(m_prev - m_cur)
+    l_cur = l_prev * alpha + p.sum(axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype),
+        v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_ref[:, :1] = m_cur
+    l_ref[:, :1] = l_cur
+
+    @pl.when(k_idx == n_k - 1)
+    def _finalize():
+        l = jnp.maximum(l_ref[:, :1], 1e-30)
+        o_ref[0, 0] = (acc_ref[:] / l).astype(o_ref.dtype)
+
+
+def _pad_to(x: jnp.ndarray, axis: int, multiple: int, value=0.0) -> jnp.ndarray:
+    pad = (-x.shape[axis]) % multiple
+    if pad == 0:
+        return x
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (0, pad)
+    return jnp.pad(x, pads, constant_values=value)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_q", "block_k")
+)
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+    kv_mask: Optional[jnp.ndarray] = None,
+    block_q: int = 512,
+    block_k: int = 512,
+) -> jnp.ndarray:
+    """Fused flash attention. Returns (B, H, Sq, D) in q.dtype."""
+    B, H, Sq, D = q.shape
+    Sk = k.shape[2]
+    if scale is None:
+        scale = D ** -0.5
+
+    block_q = min(block_q, max(128, Sq))
+    block_k = min(block_k, max(128, Sk))
+
+    if kv_mask is None:
+        kv_mask = jnp.ones((B, Sk), dtype=jnp.int32)
+    else:
+        kv_mask = kv_mask.astype(jnp.int32)
+
+    qp = _pad_to(q, 2, block_q)
+    kp = _pad_to(k, 2, block_k)
+    vp = _pad_to(v, 2, block_k)
+    maskp = _pad_to(kv_mask, 1, block_k, value=0)
+
+    n_q = qp.shape[2] // block_q
+    n_k = kp.shape[2] // block_k
+
+    grid = (B, H, n_q, n_k)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, block_q, D),
+                lambda b, h, qi, ki: (b, h, qi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, block_k, D),
+                lambda b, h, qi, ki: (b, h, ki, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, block_k, D),
+                lambda b, h, qi, ki: (b, h, ki, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, block_k),
+                lambda b, h, qi, ki: (b, ki),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, D),
+            lambda b, h, qi, ki: (b, h, qi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(qp.shape, q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, D), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * Sq * Sk * D,
+            bytes_accessed=(q.size + k.size + v.size + q.size) * q.dtype.itemsize,
+            transcendentals=B * H * Sq * Sk,
+        ),
+    )(qp, kp, vp, maskp)
+    return out[:, :, :Sq]

@@ -1,0 +1,141 @@
+"""Jitted flow-matching sampling loop (Stage I) as a ``lax.scan``.
+
+TPU-native counterpart of the reference Euler sampler
+(reference: actionmesh/scheduler/scheduler.py:100-295). Differences by
+design:
+
+  * The whole 30-step loop is ONE compiled XLA program (``lax.scan`` over
+    steps) — no host round-trips between steps, unlike the reference's
+    per-step Python loop.
+  * The CFG branch batch is built once outside the scan (context zeroing is
+    constant across steps) and rides a leading batch axis that the device
+    mesh shards (parallel/mesh.py), replacing the reference's
+    ``split_cfg_batch`` memory knob.
+  * RoPE tables are computed once per window and closed over by the scan.
+  * Noise comes from ``jax.random`` keyed streams; the reference's torch
+    Generator bitstream is device-dependent anyway — seeding *structure*
+    (per-window seed+i) is preserved at the pipeline level.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from actionmesh_tpu.models.denoiser import (
+    DenoiserConfig,
+    denoiser_forward,
+    precompute_freqs_rot,
+)
+from actionmesh_tpu.sampling.guidance import ClassifierFreeGuidance
+
+
+def get_noise(
+    key: jax.Array,
+    latent_shape: tuple[int, ...],
+    batch_size: int,
+    n_timesteps: int,
+    corr_noise: float = 0.0,
+    dtype: jnp.dtype = jnp.float32,
+) -> jnp.ndarray:
+    """Noise with optional temporal correlation (scheduler.py:100-137)."""
+    assert 0.0 <= corr_noise <= 1.0
+    k_same, k_ind = jax.random.split(key)
+    same = jax.random.normal(
+        k_same, (batch_size, 1) + tuple(latent_shape), dtype=dtype
+    )
+    same = jnp.broadcast_to(
+        same, (batch_size, n_timesteps) + tuple(latent_shape)
+    )
+    ind = jax.random.normal(
+        k_ind, (batch_size, n_timesteps) + tuple(latent_shape), dtype=dtype
+    )
+    return math.sqrt(corr_noise) * same + math.sqrt(1.0 - corr_noise) * ind
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dcfg", "guidance", "is_additive", "attn_impl"),
+)
+def denoise_window(
+    params,
+    dcfg: DenoiserConfig,
+    guidance: ClassifierFreeGuidance,
+    init_latent: jnp.ndarray,
+    context: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    framestep: jnp.ndarray,
+    timesteps: jnp.ndarray,
+    distances: jnp.ndarray,
+    is_additive: bool = True,
+    attn_impl: str = "auto",
+) -> jnp.ndarray:
+    """Denoise one AR window.
+
+    Args:
+        init_latent (B, T, N, D): conditioning latents where mask=1, noise
+            elsewhere.
+        context (B, T, S, Dc): DINOv2 features.
+        mask (B, T): 1 = ground-truth (frozen) frame.
+        framestep (B, T): video timesteps.
+        timesteps (num_steps+1,), distances (num_steps,): flow schedule.
+
+    Returns:
+        (B, T, N, D) denoised latents.
+    """
+    B, T, N, _ = init_latent.shape
+    compute_dtype = init_latent.dtype
+
+    # -- Build the CFG branch batch once (constant across steps)
+    latents0, context_g, mask_g, framestep_g = guidance.cfg_at_inference(
+        init_latent, context, mask, framestep
+    )
+    del latents0  # latents re-stacked each step from the evolving state
+    unobserved = guidance.get_unobserved_mask(mask)  # (B, T) bool or None
+
+    # -- RoPE tables for the CFG-expanded batch, once per window
+    freqs_rot = precompute_freqs_rot(dcfg, framestep_g, N)
+
+    g = guidance.n_branches
+    mask_f = (
+        mask_g.astype(compute_dtype) if mask_g is not None else None
+    )
+
+    def step(latents, step_inputs):
+        t, dist = step_inputs
+        hidden = jnp.concatenate([latents] * g, axis=0)
+        diffusion_time = jnp.full((g * B,), t, dtype=compute_dtype)
+        pred = denoiser_forward(
+            params,
+            dcfg,
+            hidden,
+            context_g,
+            framestep_g,
+            diffusion_time,
+            mask=mask_f,
+            freqs_rot=freqs_rot,
+            attn_impl=attn_impl,
+        )
+        pred = guidance.aggregate_cfg(pred)
+        if is_additive:
+            stepped = latents + dist * pred
+        else:
+            stepped = latents - dist * pred
+        if unobserved is not None:
+            latents = jnp.where(
+                unobserved[..., None, None], stepped, latents
+            )
+        else:
+            latents = stepped
+        return latents, None
+
+    final, _ = jax.lax.scan(
+        step,
+        init_latent,
+        (timesteps[:-1].astype(compute_dtype), distances.astype(compute_dtype)),
+    )
+    return final
