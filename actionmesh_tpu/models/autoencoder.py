@@ -213,12 +213,14 @@ def autoencoder_forward(
     ).reshape(B * T_out, T, cfg.width)
     x = jnp.concatenate([latent_b, alpha_b], axis=1)  # (B*T_out, S, W)
 
-    cos_b = jnp.broadcast_to(cos[:, None], (B, T_out, S, cos.shape[-1])).reshape(
-        B * T_out, S, -1
-    )
-    sin_b = jnp.broadcast_to(sin[:, None], (B, T_out, S, sin.shape[-1])).reshape(
-        B * T_out, S, -1
-    )
+    # RoPE tables are identical across targets; avoid materializing them per
+    # batch item (15 x 33k x 128 fp32 would be ~2.5 GB). With B==1 a 2-D
+    # table broadcasts inside attention.
+    if B == 1:
+        cos_b, sin_b = cos[0], sin[0]
+    else:
+        cos_b = jnp.repeat(cos, T_out, axis=0)
+        sin_b = jnp.repeat(sin, T_out, axis=0)
 
     # -- KV stack: self-attention blocks (compute dtype)
     for block_params in params["blocks"][:-1]:

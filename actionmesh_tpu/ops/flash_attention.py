@@ -41,7 +41,7 @@ def _flash_kernel(
     q = q_ref[0, 0]  # (bq, D)
     k = k_ref[0, 0]  # (bk, D)
     v = v_ref[0, 0]  # (bk, D)
-    mask = mask_ref[0]  # (bk,) int32: 1 = valid
+    mask = mask_ref[0, 0]  # (bk,) int32: 1 = valid
 
     s = jax.lax.dot_general(
         q,
@@ -100,8 +100,13 @@ def flash_attention(
     if scale is None:
         scale = D ** -0.5
 
-    block_q = min(block_q, max(128, Sq))
-    block_k = min(block_k, max(128, Sk))
+    # Block sizes must be multiples of the (8, 128) TPU tile; sequences pad
+    # up to the block size with masked-out positions.
+    def _round_up(x: int, m: int) -> int:
+        return -(-x // m) * m
+
+    block_q = min(block_q, _round_up(Sq, 128))
+    block_k = min(block_k, _round_up(Sk, 128))
 
     if kv_mask is None:
         kv_mask = jnp.ones((B, Sk), dtype=jnp.int32)
@@ -111,7 +116,7 @@ def flash_attention(
     qp = _pad_to(q, 2, block_q)
     kp = _pad_to(k, 2, block_k)
     vp = _pad_to(v, 2, block_k)
-    maskp = _pad_to(kv_mask, 1, block_k, value=0)
+    maskp = _pad_to(kv_mask, 1, block_k, value=0)[:, None, :]  # (B, 1, Skp)
 
     n_q = qp.shape[2] // block_q
     n_k = kp.shape[2] // block_k
@@ -137,8 +142,8 @@ def flash_attention(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, block_k),
-                lambda b, h, qi, ki: (b, ki),
+                (1, 1, block_k),
+                lambda b, h, qi, ki: (b, 0, ki),
                 memory_space=pltpu.VMEM,
             ),
         ],

@@ -1,0 +1,490 @@
+"""ActionMesh TPU pipeline: video -> animated 3D mesh (4D).
+
+TPU-native re-design of the reference pipeline
+(reference: actionmesh/pipeline.py:37-686). Orchestration differences:
+
+  * Stage I's full denoising loop is ONE jitted XLA program per AR window
+    (scan over steps), not a per-step host loop.
+  * Stage II decodes every target timestep in one batched program.
+  * Banks keep latents device-resident between windows.
+  * Models are (config, params-pytree) pairs; weights load through the
+    safetensors->JAX converter (utils/weights.py) when available, or
+    deterministic random init for development.
+  * The reference's lazy load/unload memory choreography is unnecessary on
+    TPU (weights are bf16 and HBM-resident); `lazy_loading` is accepted for
+    API parity and ignored.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from pathlib import Path
+from typing import Callable, Optional, Protocol
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from actionmesh_tpu.config import PipelineConfig, load_config
+from actionmesh_tpu.io.mesh import Mesh
+from actionmesh_tpu.io.video_input import ActionMeshInput
+from actionmesh_tpu.models.autoencoder import (
+    AutoencoderConfig,
+    apply_displacement,
+    autoencoder_forward,
+    init_autoencoder,
+)
+from actionmesh_tpu.models.denoiser import DenoiserConfig, init_denoiser
+from actionmesh_tpu.ops.chunking import chunk_from
+from actionmesh_tpu.ops.embeddings import (
+    apply_scaling,
+    get_scaling,
+    interpolate_timesteps,
+)
+from actionmesh_tpu.preprocessing.image import ImagePreprocessor
+from actionmesh_tpu.preprocessing.mesh import (
+    MeshPostprocessor,
+    get_mesh_features,
+)
+from actionmesh_tpu.sampling.denoise_loop import denoise_window, get_noise
+from actionmesh_tpu.sampling.flow_schedule import get_schedule
+from actionmesh_tpu.sampling.guidance import make_guidance
+from actionmesh_tpu.utils.banks import LatentBank, MeshBank
+
+logger = logging.getLogger(__name__)
+
+StepCallback = Callable[[int, int], None]
+WindowStepCallback = Callable[[int, int, int, int], None]
+
+
+class ImageTo3D(Protocol):
+    """Stage 0 backend: anchor frame -> (latent (1, N, D), mesh)."""
+
+    def __call__(
+        self, image, seed: int, num_inference_steps: int, guidance_scale: float
+    ) -> tuple[jnp.ndarray, Mesh]: ...
+
+
+class ImageEncoderBackend(Protocol):
+    """Conditioning encoder: frames -> (T, S, D_ctx) features."""
+
+    def encode_images(self, frames: list) -> jnp.ndarray: ...
+
+
+class ActionMeshPipeline:
+    """Video -> 4D pipeline (three-stage cascade)."""
+
+    def __init__(
+        self,
+        config_name: str = "actionmesh",
+        config_dir: Optional[str | Path] = None,
+        dtype: jnp.dtype = jnp.bfloat16,
+        lazy_loading: bool = False,  # accepted for API parity; TPU keeps
+        # weights HBM-resident in bf16 (no CPU<->GPU residency dance needed)
+        weights_dir: Optional[str | Path] = "pretrained_weights",
+        init_seed: int = 0,
+        config_updates: Optional[dict] = None,
+    ):
+        del lazy_loading
+        self.cfg: PipelineConfig = load_config(
+            config_name, config_dir, updates=config_updates
+        )
+        self._dtype = dtype
+        self._weights_dir = Path(weights_dir) if weights_dir else None
+
+        dc = self.cfg.temporal_3D_denoiser
+        self.denoiser_config = DenoiserConfig(
+            num_tokens_nominal=dc.num_tokens_nominal,
+            temporal_context_size=dc.temporal_context_size,
+            in_channels=dc.in_channels,
+            num_layers=dc.num_layers,
+            num_attention_heads=dc.num_attention_heads,
+            width=dc.width,
+            mlp_ratio=dc.mlp_ratio,
+            cross_attention_dim=dc.cross_attention_dim,
+            inflated_layers=tuple(dc.inflated_layers),
+        )
+        ac = self.cfg.temporal_3D_vae
+        self.autoencoder_config = AutoencoderConfig(
+            temporal_context_size=ac.temporal_context_size,
+            in_channels=ac.in_channels,
+            in_extra_channels=ac.in_extra_channels,
+            out_dim=ac.out_dim,
+            latent_channels=ac.latent_channels,
+            width=ac.width,
+            num_layers=ac.num_layers,
+            num_attention_heads=ac.num_attention_heads,
+            embed_frequency=ac.embed_frequency,
+            embed_include_pi=ac.embed_include_pi,
+            prediction_mode=ac.prediction_mode,
+        )
+
+        self.image_process = ImagePreprocessor()
+        self.mesh_process = MeshPostprocessor(
+            face_decimation=self.cfg.mesh_process.face_decimation,
+            floaters_threshold=self.cfg.mesh_process.floaters_threshold,
+        )
+
+        # -- Model parameters: converted checkpoints if present, else random
+        self.denoiser_params = None
+        self.autoencoder_params = None
+        self._init_seed = init_seed
+        self._load_actionmesh_weights()
+
+        # -- Pluggable backends (real implementations in models/)
+        self.image_to_3d: Optional[ImageTo3D] = None
+        self.image_encoder: Optional[ImageEncoderBackend] = None
+        self.background_removal = None  # Optional RMBG matting backend
+        self._load_backends()
+
+        self._denoiser_latent_shape = self.cfg.denoiser_latent_shape
+
+    # ------------------------------------------------------------------
+    # Weight loading
+    # ------------------------------------------------------------------
+
+    def _load_actionmesh_weights(self) -> None:
+        from actionmesh_tpu.utils import weights as weights_util
+
+        am_dir = (
+            self._weights_dir / "ActionMesh" if self._weights_dir else None
+        )
+        if am_dir is not None and am_dir.exists():
+            logger.info("Loading ActionMesh weights from %s", am_dir)
+            self.denoiser_params = weights_util.load_denoiser(
+                am_dir / "denoiser", self.denoiser_config, dtype=self._dtype
+            )
+            self.autoencoder_params = weights_util.load_autoencoder(
+                am_dir / "autoencoder", self.autoencoder_config, dtype=self._dtype
+            )
+        else:
+            logger.warning(
+                "ActionMesh weights not found under %s — using deterministic "
+                "random initialization (development mode).",
+                self._weights_dir,
+            )
+            key = jax.random.PRNGKey(self._init_seed)
+            kd, ka = jax.random.split(key)
+            self.denoiser_params = init_denoiser(
+                kd, self.denoiser_config, dtype=self._dtype
+            )
+            self.autoencoder_params = init_autoencoder(
+                ka, self.autoencoder_config, dtype=self._dtype
+            )
+
+    def _load_backends(self) -> None:
+        from actionmesh_tpu.models.image_encoder import ImageEncoder
+        from actionmesh_tpu.models.stage0 import make_image_to_3d
+        from actionmesh_tpu.preprocessing.background import BackgroundRemover
+
+        self.image_encoder = ImageEncoder(
+            weights_dir=(
+                self._weights_dir / "dinov2" if self._weights_dir else None
+            ),
+            dtype=self._dtype,
+        )
+        self.image_to_3d = make_image_to_3d(
+            weights_dir=(
+                self._weights_dir / "TripoSG" if self._weights_dir else None
+            ),
+            latent_shape=self.cfg.denoiser_latent_shape,
+            dtype=self._dtype,
+        )
+        self.background_removal = BackgroundRemover(
+            weights_dir=self._weights_dir / "RMBG" if self._weights_dir else None
+        )
+
+    def to(self, device=None) -> "ActionMeshPipeline":
+        """API parity no-op: arrays are placed by jit on the default device."""
+        return self
+
+    # ------------------------------------------------------------------
+    # Stage 0
+    # ------------------------------------------------------------------
+
+    def init_banks_from_anchor(
+        self, input: ActionMeshInput, seed: int = 44
+    ) -> tuple[LatentBank, MeshBank]:
+        """Anchor frame -> 3D latent + mesh via the image-to-3D backend."""
+        anchor_latent, anchor_mesh = self.image_to_3d(
+            image=input.frames[self.cfg.anchor_idx],
+            seed=seed,
+            num_inference_steps=self.cfg.stage_0.num_inference_steps,
+            guidance_scale=self.cfg.stage_0.guidance_scale,
+        )
+        anchor_mesh = self.mesh_process.process_mesh(anchor_mesh, seed=seed)
+
+        latent_bank = LatentBank(
+            empty_dims=self._denoiser_latent_shape, verbose=True
+        )
+        mesh_bank = MeshBank(verbose=True)
+        anchor_timestep = input.timesteps[[self.cfg.anchor_idx]]
+        latent_bank.update(timesteps=anchor_timestep, latents=anchor_latent)
+        mesh_bank.update(meshes=[anchor_mesh], timesteps=anchor_timestep)
+        return latent_bank, mesh_bank
+
+    # ------------------------------------------------------------------
+    # Stage I
+    # ------------------------------------------------------------------
+
+    def encode_all_frames(self, input: ActionMeshInput) -> jnp.ndarray:
+        """(T, S, D_ctx) conditioning features for all frames."""
+        return self.image_encoder.encode_images(input.frames)
+
+    def _denoise_latents(
+        self,
+        input: ActionMeshInput,
+        context: jnp.ndarray,
+        latent_bank: LatentBank,
+        seed: int = 44,
+        step_callback: Optional[StepCallback] = None,
+    ) -> jnp.ndarray:
+        """Denoise one AR window (whole loop is one compiled program)."""
+        cond_latents, cond_mask = latent_bank.get(
+            timesteps=input.timesteps, add_batch_dim=True
+        )
+        key = jax.random.PRNGKey(seed)
+        init_noise = get_noise(
+            key,
+            self._denoiser_latent_shape,
+            batch_size=1,
+            n_timesteps=input.n_frames,
+            dtype=jnp.float32,
+        )
+        mask_f = cond_mask.astype(jnp.float32)[..., None, None]
+        init_latent = (
+            cond_latents.astype(jnp.float32) * mask_f + init_noise * (1.0 - mask_f)
+        ).astype(self._dtype)
+
+        timesteps, distances = get_schedule(
+            self.cfg.scheduler.num_inference_steps,
+            self.cfg.scheduler.num_train_timesteps,
+            self.cfg.scheduler.shift,
+        )
+        guidance = make_guidance(
+            self.cfg.cf_guidance.guidance_at_inference,
+            self.cfg.cf_guidance.guidance_scales,
+            self.cfg.cf_guidance.inference_enabled,
+        )
+        if step_callback is not None:
+            step_callback(1, self.cfg.scheduler.num_inference_steps)
+        latents = denoise_window(
+            self.denoiser_params,
+            self.denoiser_config,
+            guidance,
+            init_latent,
+            context[None].astype(self._dtype),
+            cond_mask,
+            jnp.asarray(input.timesteps)[None],
+            jnp.asarray(timesteps),
+            jnp.asarray(distances),
+            is_additive=self.cfg.scheduler.is_additive,
+            attn_impl=self.cfg.attn_impl,
+        )
+        if step_callback is not None:
+            step_callback(
+                self.cfg.scheduler.num_inference_steps,
+                self.cfg.scheduler.num_inference_steps,
+            )
+        return latents
+
+    def generate_3d_latents(
+        self,
+        input: ActionMeshInput,
+        context: jnp.ndarray,
+        latent_bank: LatentBank,
+        seed: int = 44,
+        step_callback: Optional[WindowStepCallback] = None,
+    ) -> LatentBank:
+        """Stage I over AR windows, conditioning on previously banked latents."""
+        ar_windows = chunk_from(
+            start=self.cfg.anchor_idx,
+            total=input.n_frames,
+            size=self.cfg.temporal_3D_denoiser.temporal_context_size,
+            slide=self.cfg.sliding_window_denoiser,
+        )
+        total_windows = len(ar_windows)
+        for i, window_indices in enumerate(ar_windows):
+            window_input = input.get(window_indices)
+            window_context = context[np.asarray(window_indices)]
+
+            _step_cb = None
+            if step_callback is not None:
+                def _step_cb(step, total, _i=i, _tw=total_windows):
+                    step_callback(step, total, _i, _tw)
+
+            t0 = time.perf_counter()
+            window_latents = self._denoise_latents(
+                input=window_input,
+                context=window_context,
+                latent_bank=latent_bank,
+                seed=seed + i,
+                step_callback=_step_cb,
+            )
+            window_latents.block_until_ready()
+            logger.info(
+                "Stage I window %d/%d: %.2fs",
+                i + 1, total_windows, time.perf_counter() - t0,
+            )
+            latent_bank.update(
+                latents=window_latents.astype(jnp.float32),
+                timesteps=window_input.timesteps,
+            )
+        return latent_bank
+
+    # ------------------------------------------------------------------
+    # Stage II
+    # ------------------------------------------------------------------
+
+    def _decode_displacement(
+        self,
+        latents: jnp.ndarray,
+        window_timesteps: np.ndarray,
+        source_alpha: np.ndarray,
+        target_alphas: np.ndarray,
+        anchor_mesh: Mesh,
+        step_callback: Optional[StepCallback] = None,
+    ) -> list[Mesh]:
+        """Decode one window of latents into deformed meshes."""
+        _, n_targets = target_alphas.shape
+        vertex_features = jnp.asarray(
+            get_mesh_features(anchor_mesh, with_normals=True)
+        )[None]
+
+        chunk = self.cfg.decode_target_chunk or n_targets
+        outs = []
+        for start in range(0, n_targets, chunk):
+            if step_callback is not None:
+                step_callback(min(start + chunk, n_targets), n_targets)
+            outs.append(
+                autoencoder_forward(
+                    self.autoencoder_params,
+                    self.autoencoder_config,
+                    latents.astype(self._dtype),
+                    jnp.asarray(window_timesteps),
+                    jnp.asarray(source_alpha),
+                    jnp.asarray(target_alphas[:, start : start + chunk]),
+                    vertex_features,
+                    attn_impl=self.cfg.attn_impl,
+                    compute_dtype=self._dtype,
+                )
+            )
+        displacement = jnp.concatenate(outs, axis=1)
+
+        deformed = apply_displacement(
+            self.autoencoder_config,
+            vertex_features[..., :3],
+            displacement,
+        )
+        deformed_np = np.asarray(deformed.astype(jnp.float32))
+        return [
+            Mesh(vertices=deformed_np[0, i], faces=anchor_mesh.faces)
+            for i in range(n_targets)
+        ]
+
+    def generate_mesh_animation(
+        self,
+        latent_bank: LatentBank,
+        mesh_bank: MeshBank,
+        step_callback: Optional[WindowStepCallback] = None,
+    ) -> MeshBank:
+        """Stage II over AR windows: latents -> deformed meshes."""
+        ar_windows = chunk_from(
+            start=self.cfg.anchor_idx,
+            total=latent_bank.n_timesteps,
+            size=self.cfg.temporal_3D_vae.temporal_context_size,
+            slide=self.cfg.sliding_window_autoencoder,
+        )
+        all_timesteps = latent_bank.get_ordered_timesteps()
+        total_windows = len(ar_windows)
+        for window_idx, window_indices in enumerate(ar_windows):
+            window_timesteps = all_timesteps[np.asarray(window_indices)][None]
+            window_latents, _ = latent_bank.get(
+                timesteps=window_timesteps[0], add_batch_dim=True
+            )
+            anchor_mesh = mesh_bank.get(timesteps=window_timesteps[:, 0])[0]
+            assert anchor_mesh is not None, "Anchor mesh should be in mesh_bank"
+
+            output_timesteps = interpolate_timesteps(
+                window_timesteps,
+                subsampling_level=self.cfg.subsampling_level,
+                drop_first=True,
+            )
+            t_min, t_range = get_scaling(window_timesteps)
+            source_alpha = apply_scaling(window_timesteps[:, 0], t_min, t_range)
+            target_alphas = apply_scaling(output_timesteps, t_min, t_range)
+
+            _step_cb = None
+            if step_callback is not None:
+                def _step_cb(step, total, _i=window_idx, _tw=total_windows):
+                    step_callback(step, total, _i, _tw)
+
+            t0 = time.perf_counter()
+            window_meshes = self._decode_displacement(
+                latents=window_latents,
+                window_timesteps=window_timesteps,
+                source_alpha=source_alpha,
+                target_alphas=target_alphas,
+                anchor_mesh=anchor_mesh,
+                step_callback=_step_cb,
+            )
+            logger.info(
+                "Stage II window %d/%d: %.2fs",
+                window_idx + 1, total_windows, time.perf_counter() - t0,
+            )
+            mesh_bank.update(
+                meshes=window_meshes, timesteps=output_timesteps[0]
+            )
+        return mesh_bank
+
+    # ------------------------------------------------------------------
+    # Full pipeline
+    # ------------------------------------------------------------------
+
+    def __call__(
+        self,
+        input: ActionMeshInput,
+        seed: int = 44,
+        stage_0_steps: Optional[int] = None,
+        face_decimation: Optional[int] = None,
+        floaters_threshold: Optional[float] = None,
+        stage_1_steps: Optional[int] = None,
+        guidance_scales: Optional[list[float]] = None,
+        anchor_idx: Optional[int] = None,
+    ) -> list[Mesh]:
+        """Run the video -> 4D pipeline. Returns meshes ordered by timestep."""
+        if stage_0_steps is not None:
+            self.cfg.stage_0.num_inference_steps = stage_0_steps
+        if stage_1_steps is not None:
+            self.cfg.scheduler.num_inference_steps = stage_1_steps
+        if guidance_scales is not None:
+            self.cfg.cf_guidance.guidance_scales = guidance_scales
+        if face_decimation is not None:
+            self.mesh_process.face_decimation = face_decimation
+        if floaters_threshold is not None:
+            self.mesh_process.floaters_threshold = floaters_threshold
+        if anchor_idx is not None:
+            self.cfg.anchor_idx = anchor_idx
+
+        # -- Preprocess: background matting (skipped if alpha valid) + crop
+        input.frames = self.background_removal.process_images(input.frames)
+        input.frames = self.image_process.process_images(input.frames)
+
+        # -- Stage 0: anchor 3D mesh + latent
+        latent_bank, mesh_bank = self.init_banks_from_anchor(input, seed)
+
+        # -- Conditioning features for all frames
+        context = self.encode_all_frames(input)
+
+        # -- Stage I: synchronized 3D latents
+        latent_bank = self.generate_3d_latents(
+            input, context=context, latent_bank=latent_bank, seed=seed
+        )
+
+        # -- Stage II: mesh animation
+        mesh_bank = self.generate_mesh_animation(
+            latent_bank=latent_bank, mesh_bank=mesh_bank
+        )
+
+        return mesh_bank.get_ordered()[0]

@@ -1,0 +1,236 @@
+"""safetensors(torch) -> JAX pytree weight conversion.
+
+The reference loads four checkpoint families (reference:
+actionmesh/pipeline.py:70-85, temporal_denoiser.py:17, SURVEY.md §5
+checkpoint notes): ActionMesh denoiser/autoencoder (PyTorchModelHubMixin),
+DINOv2-L, RMBG-1.4 and TripoSG. This module converts their torch
+safetensors into our functional param pytrees: torch Linear weights (out,
+in) transpose to (in, out) kernels; conv kernels OIHW -> HWIO; norm weights
+map to scale/bias. qkv stay as separate to_q/to_k/to_v (the reference fuses
+at runtime, attention_processor.py:106-115 — XLA fuses the three matmuls
+itself).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+from typing import Iterator
+
+import jax.numpy as jnp
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+# ---------------------------------------------------------------------------
+# safetensors loading (sharded or single-file)
+# ---------------------------------------------------------------------------
+
+def load_safetensors_dir(path: Path) -> dict[str, np.ndarray]:
+    """Load all *.safetensors under `path` (handles HF shard indexes)."""
+    from safetensors.numpy import load_file
+
+    path = Path(path)
+    if path.is_file():
+        return dict(load_file(str(path)))
+    index = path / "model.safetensors.index.json"
+    files: list[Path]
+    if index.exists():
+        shard_names = sorted(
+            set(json.loads(index.read_text())["weight_map"].values())
+        )
+        files = [path / name for name in shard_names]
+    else:
+        files = sorted(path.glob("*.safetensors"))
+    if not files:
+        raise FileNotFoundError(f"No safetensors files under {path}")
+    state: dict[str, np.ndarray] = {}
+    for f in files:
+        state.update(load_file(str(f)))
+    return state
+
+
+def _to_jnp(x: np.ndarray, dtype) -> jnp.ndarray:
+    return jnp.asarray(x, dtype=dtype)
+
+
+def _linear(state: dict, prefix: str, dtype) -> dict:
+    out = {"kernel": _to_jnp(state[f"{prefix}.weight"].T, dtype)}
+    if f"{prefix}.bias" in state:
+        out["bias"] = _to_jnp(state[f"{prefix}.bias"], dtype)
+    return out
+
+
+def _layer_norm(state: dict, prefix: str) -> dict:
+    return {
+        "scale": _to_jnp(state[f"{prefix}.weight"], jnp.float32),
+        "bias": _to_jnp(state[f"{prefix}.bias"], jnp.float32),
+    }
+
+
+def _rms_norm(state: dict, prefix: str) -> dict:
+    return {"scale": _to_jnp(state[f"{prefix}.weight"], jnp.float32)}
+
+
+def _attention(state: dict, prefix: str, dtype, fp32: bool = False) -> dict:
+    adtype = jnp.float32 if fp32 else dtype
+    out = {
+        "to_q": _linear(state, f"{prefix}.to_q", adtype),
+        "to_k": _linear(state, f"{prefix}.to_k", adtype),
+        "to_v": _linear(state, f"{prefix}.to_v", adtype),
+        "to_out": _linear(state, f"{prefix}.to_out.0", adtype),
+    }
+    if f"{prefix}.norm_q.weight" in state:
+        out["norm_q"] = _rms_norm(state, f"{prefix}.norm_q")
+        out["norm_k"] = _rms_norm(state, f"{prefix}.norm_k")
+    if f"{prefix}.norm_cross.weight" in state:
+        out["norm_cross"] = _layer_norm(state, f"{prefix}.norm_cross")
+    return out
+
+
+def _flow_block(state: dict, prefix: str, dtype, fp32: bool = False) -> dict:
+    adtype = jnp.float32 if fp32 else dtype
+    out: dict = {}
+    if f"{prefix}.s_attn.to_q.weight" in state:
+        out["norm_s_attn"] = _layer_norm(state, f"{prefix}.norm_s_attn")
+        out["s_attn"] = _attention(state, f"{prefix}.s_attn", dtype, fp32)
+    if f"{prefix}.x_attn.to_q.weight" in state:
+        out["norm_x_attn"] = _layer_norm(state, f"{prefix}.norm_x_attn")
+        out["x_attn"] = _attention(state, f"{prefix}.x_attn", dtype, fp32)
+    out["norm_ff"] = _layer_norm(state, f"{prefix}.norm_ff")
+    out["ff"] = {
+        "net_0": _linear(state, f"{prefix}.ff.net.0.proj", adtype),
+        "net_2": _linear(state, f"{prefix}.ff.net.2", adtype),
+    }
+    if f"{prefix}.linear_skip.weight" in state:
+        out["norm_skip"] = _layer_norm(state, f"{prefix}.norm_skip")
+        out["linear_skip"] = _linear(state, f"{prefix}.linear_skip", adtype)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Model-specific converters
+# ---------------------------------------------------------------------------
+
+def load_denoiser(path: Path, cfg, dtype=jnp.bfloat16) -> dict:
+    """Convert the Stage-I denoiser checkpoint (facebook/ActionMesh denoiser)."""
+    state = load_safetensors_dir(path)
+    return {
+        "time_proj": {
+            "linear_1": _linear(state, "time_proj.linear_1", dtype),
+            "linear_2": _linear(state, "time_proj.linear_2", dtype),
+        },
+        "proj_in": _linear(state, "proj_in", dtype),
+        "blocks": [
+            _flow_block(state, f"blocks.{i}", dtype)
+            for i in range(cfg.num_layers)
+        ],
+        "norm_out": _layer_norm(state, "norm_out"),
+        "proj_out": _linear(state, "proj_out", dtype),
+    }
+
+
+def load_autoencoder(path: Path, cfg, dtype=jnp.bfloat16) -> dict:
+    """Convert the Stage-II autoencoder checkpoint.
+
+    The final cross-attention block, proj_query, norm_out and proj_out stay
+    float32 (the reference's fp32 island, temporal_autoencoder.py:240,266).
+    """
+    state = load_safetensors_dir(path)
+    n = cfg.num_layers
+    blocks = [_flow_block(state, f"blocks.{i}", dtype) for i in range(n)]
+    blocks.append(_flow_block(state, f"blocks.{n}", dtype, fp32=True))
+    return {
+        "blocks": blocks,
+        "proj_query": _linear(state, "proj_query", jnp.float32),
+        "norm_out": _layer_norm(state, "norm_out"),
+        "proj_out": _linear(state, "proj_out", jnp.float32),
+        "post_quant": _linear(state, "post_quant", dtype),
+    }
+
+
+def load_dinov2(path: Path, cfg, dtype=jnp.bfloat16) -> dict:
+    """Convert an HF transformers Dinov2Model checkpoint (facebook/dinov2-large)."""
+    state = load_safetensors_dir(path)
+
+    def block(i: int) -> dict:
+        p = f"encoder.layer.{i}"
+        return {
+            "norm1": _layer_norm(state, f"{p}.norm1"),
+            "attention": {
+                "query": _linear(state, f"{p}.attention.attention.query", dtype),
+                "key": _linear(state, f"{p}.attention.attention.key", dtype),
+                "value": _linear(state, f"{p}.attention.attention.value", dtype),
+                "output": _linear(state, f"{p}.attention.output.dense", dtype),
+            },
+            "layer_scale1": {
+                "lambda1": _to_jnp(state[f"{p}.layer_scale1.lambda1"], jnp.float32)
+            },
+            "norm2": _layer_norm(state, f"{p}.norm2"),
+            "mlp": {
+                "fc1": _linear(state, f"{p}.mlp.fc1", dtype),
+                "fc2": _linear(state, f"{p}.mlp.fc2", dtype),
+            },
+            "layer_scale2": {
+                "lambda1": _to_jnp(state[f"{p}.layer_scale2.lambda1"], jnp.float32)
+            },
+        }
+
+    proj = state["embeddings.patch_embeddings.projection.weight"]  # OIHW
+    return {
+        "patch_embed": {
+            "kernel": _to_jnp(proj.transpose(2, 3, 1, 0), dtype),
+            "bias": _to_jnp(
+                state["embeddings.patch_embeddings.projection.bias"], dtype
+            ),
+        },
+        "cls_token": _to_jnp(state["embeddings.cls_token"], jnp.float32),
+        "pos_embed": _to_jnp(
+            state["embeddings.position_embeddings"], jnp.float32
+        ),
+        "blocks": [block(i) for i in range(cfg.num_layers)],
+        "norm": _layer_norm(state, "layernorm"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Native checkpoint save/load (flattened npz)
+# ---------------------------------------------------------------------------
+
+def _flatten(tree, prefix="") -> Iterator[tuple[str, np.ndarray]]:
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from _flatten(v, f"{prefix}{k}.")
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            yield from _flatten(v, f"{prefix}{i}.")
+    else:
+        yield prefix[:-1], np.asarray(tree)
+
+
+def save_params(params, path: str | Path) -> None:
+    np.savez(path, **dict(_flatten(params)))
+
+
+def load_params(path: str | Path) -> dict:
+    """Inverse of save_params: rebuild nested dicts/lists from flat keys."""
+    flat = dict(np.load(path))
+    root: dict = {}
+    for key, value in flat.items():
+        parts = key.split(".")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(value)
+
+    def listify(node):
+        if isinstance(node, dict):
+            keys = list(node.keys())
+            if keys and all(k.isdigit() for k in keys):
+                return [listify(node[str(i)]) for i in range(len(keys))]
+            return {k: listify(v) for k, v in node.items()}
+        return node
+
+    return listify(root)

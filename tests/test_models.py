@@ -1,0 +1,214 @@
+"""Stage I / Stage II model tests on tiny configs (CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from actionmesh_tpu.models.autoencoder import (
+    AutoencoderConfig,
+    apply_displacement,
+    autoencoder_forward,
+    embed_queries,
+    init_autoencoder,
+)
+from actionmesh_tpu.models.denoiser import (
+    DenoiserConfig,
+    denoiser_forward,
+    init_denoiser,
+    precompute_freqs_rot,
+)
+from actionmesh_tpu.sampling.denoise_loop import denoise_window, get_noise
+from actionmesh_tpu.sampling.flow_schedule import get_schedule
+from actionmesh_tpu.sampling.guidance import make_guidance
+
+TINY_DENOISER = DenoiserConfig(
+    num_tokens_nominal=8,
+    temporal_context_size=4,
+    in_channels=8,
+    num_layers=5,
+    num_attention_heads=2,
+    width=32,
+    mlp_ratio=2.0,
+    cross_attention_dim=16,
+    inflated_layers=tuple(range(5)),
+)
+
+TINY_AE = AutoencoderConfig(
+    temporal_context_size=4,
+    latent_channels=8,
+    width=32,
+    num_layers=3,
+    num_attention_heads=2,
+)
+
+
+class TestDenoiser:
+    def test_forward_shapes_and_finite(self):
+        cfg = TINY_DENOISER
+        params = init_denoiser(jax.random.PRNGKey(0), cfg)
+        B, T, N = 2, 4, 8
+        x = jax.random.normal(jax.random.PRNGKey(1), (B, T, N, cfg.in_channels))
+        ctx = jax.random.normal(jax.random.PRNGKey(2), (B, T, 5, 16))
+        framestep = jnp.tile(jnp.arange(T, dtype=jnp.float32)[None], (B, 1))
+        dt = jnp.full((B,), 500.0)
+        mask = jnp.zeros((B, T))
+        out = denoiser_forward(
+            params, cfg, x, ctx, framestep, dt, mask=mask, attn_impl="naive"
+        )
+        assert out.shape == (B, T, N, cfg.in_channels)
+        assert bool(jnp.all(jnp.isfinite(out)))
+
+    def test_freqs_precompute_matches_inline(self):
+        cfg = TINY_DENOISER
+        params = init_denoiser(jax.random.PRNGKey(0), cfg)
+        B, T, N = 1, 4, 8
+        x = jax.random.normal(jax.random.PRNGKey(1), (B, T, N, cfg.in_channels))
+        ctx = jax.random.normal(jax.random.PRNGKey(2), (B, T, 5, 16))
+        framestep = jnp.array([[0.0, 1.0, 2.0, 3.0]])
+        dt = jnp.full((B,), 100.0)
+        freqs = precompute_freqs_rot(cfg, framestep, N)
+        out1 = denoiser_forward(
+            params, cfg, x, ctx, framestep, dt, freqs_rot=freqs, attn_impl="naive"
+        )
+        out2 = denoiser_forward(
+            params, cfg, x, ctx, framestep, dt, attn_impl="naive"
+        )
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
+
+    def test_mask_zeroes_diffusion_time(self):
+        """A GT frame (mask=1) must see diffusion_time 0 in its time token."""
+        cfg = TINY_DENOISER
+        params = init_denoiser(jax.random.PRNGKey(0), cfg)
+        B, T, N = 1, 4, 8
+        x = jax.random.normal(jax.random.PRNGKey(1), (B, T, N, cfg.in_channels))
+        ctx = jnp.zeros((B, T, 5, 16))
+        framestep = jnp.array([[0.0, 1.0, 2.0, 3.0]])
+        mask_all = jnp.ones((B, T))
+        out_masked_t500 = denoiser_forward(
+            params, cfg, x, ctx, framestep, jnp.full((B,), 500.0),
+            mask=mask_all, attn_impl="naive",
+        )
+        out_masked_t0 = denoiser_forward(
+            params, cfg, x, ctx, framestep, jnp.zeros((B,)),
+            mask=mask_all, attn_impl="naive",
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_masked_t500), np.asarray(out_masked_t0), atol=1e-6
+        )
+
+    def test_framestep_translation_invariance(self):
+        """Centered RoPE => shifting all timesteps leaves output unchanged."""
+        cfg = TINY_DENOISER
+        params = init_denoiser(jax.random.PRNGKey(0), cfg)
+        B, T, N = 1, 4, 8
+        x = jax.random.normal(jax.random.PRNGKey(1), (B, T, N, cfg.in_channels))
+        ctx = jax.random.normal(jax.random.PRNGKey(2), (B, T, 5, 16))
+        dt = jnp.full((B,), 250.0)
+        fs1 = jnp.array([[0.0, 1.0, 2.0, 3.0]])
+        fs2 = fs1 + 100.0
+        out1 = denoiser_forward(params, cfg, x, ctx, fs1, dt, attn_impl="naive")
+        out2 = denoiser_forward(params, cfg, x, ctx, fs2, dt, attn_impl="naive")
+        np.testing.assert_allclose(
+            np.asarray(out1), np.asarray(out2), atol=1e-5
+        )
+
+
+class TestDenoiseLoop:
+    def test_denoise_window_runs_and_freezes_observed(self):
+        cfg = TINY_DENOISER
+        params = init_denoiser(jax.random.PRNGKey(0), cfg)
+        guidance = make_guidance([[0, 1], [1, 1]], [7.5])
+        B, T, N = 1, 4, 8
+        key = jax.random.PRNGKey(42)
+        noise = get_noise(key, (N, cfg.in_channels), B, T)
+        cond = jnp.full((B, T, N, cfg.in_channels), 0.5)
+        mask = jnp.array([[1, 0, 0, 0]], dtype=jnp.int32)
+        init = cond * mask[..., None, None] + noise * (1 - mask[..., None, None])
+        ctx = jax.random.normal(jax.random.PRNGKey(2), (B, T, 5, 16))
+        framestep = jnp.arange(T, dtype=jnp.float32)[None]
+        ts, dist = get_schedule(3, shift=3.0)
+        out = denoise_window(
+            params, cfg, guidance, init, ctx, mask, framestep,
+            jnp.asarray(ts), jnp.asarray(dist),
+            is_additive=True, attn_impl="naive",
+        )
+        assert out.shape == init.shape
+        assert bool(jnp.all(jnp.isfinite(out)))
+        # observed frame 0 must be exactly frozen
+        np.testing.assert_array_equal(np.asarray(out[0, 0]), np.asarray(init[0, 0]))
+        # unobserved frames must have changed
+        assert not np.allclose(np.asarray(out[0, 1]), np.asarray(init[0, 1]))
+
+    def test_noise_temporal_correlation(self):
+        key = jax.random.PRNGKey(0)
+        n = get_noise(key, (16, 4), 1, 5, corr_noise=1.0)
+        # full correlation -> all frames identical
+        np.testing.assert_allclose(np.asarray(n[0, 0]), np.asarray(n[0, 4]))
+        n2 = get_noise(key, (16, 4), 1, 5, corr_noise=0.0)
+        assert not np.allclose(np.asarray(n2[0, 0]), np.asarray(n2[0, 1]))
+
+
+class TestAutoencoder:
+    def test_forward_shapes(self):
+        cfg = TINY_AE
+        params = init_autoencoder(jax.random.PRNGKey(0), cfg)
+        B, T, N, V, T_out = 1, 4, 8, 33, 3
+        latent = jax.random.normal(
+            jax.random.PRNGKey(1), (B, T, N, cfg.latent_channels)
+        )
+        framestep = jnp.arange(T, dtype=jnp.float32)[None]
+        source_alpha = jnp.zeros((B,))
+        target_alphas = jnp.array([[1 / 3, 2 / 3, 1.0]])
+        query = jax.random.uniform(
+            jax.random.PRNGKey(2), (B, V, 6), minval=-1, maxval=1
+        )
+        disp = autoencoder_forward(
+            params, cfg, latent, framestep, source_alpha, target_alphas, query,
+            attn_impl="naive",
+        )
+        assert disp.shape == (B, T_out, V, 3)
+        assert bool(jnp.all(jnp.isfinite(disp)))
+        assert float(disp.max()) < 1.0 and float(disp.min()) > -1.0
+
+    def test_batched_targets_match_sequential(self):
+        """Folding T_out into batch must equal decoding targets one at a time."""
+        cfg = TINY_AE
+        params = init_autoencoder(jax.random.PRNGKey(0), cfg)
+        B, T, N, V = 1, 4, 8, 17
+        latent = jax.random.normal(
+            jax.random.PRNGKey(1), (B, T, N, cfg.latent_channels)
+        )
+        framestep = jnp.arange(T, dtype=jnp.float32)[None]
+        source_alpha = jnp.zeros((B,))
+        target_alphas = jnp.array([[0.5, 1.0]])
+        query = jax.random.uniform(
+            jax.random.PRNGKey(2), (B, V, 6), minval=-1, maxval=1
+        )
+        batched = autoencoder_forward(
+            params, cfg, latent, framestep, source_alpha, target_alphas, query,
+            attn_impl="naive",
+        )
+        for i in range(2):
+            single = autoencoder_forward(
+                params, cfg, latent, framestep, source_alpha,
+                target_alphas[:, i : i + 1], query, attn_impl="naive",
+            )
+            np.testing.assert_allclose(
+                np.asarray(batched[:, i]), np.asarray(single[:, 0]), atol=1e-5
+            )
+
+    def test_embed_queries_dims(self):
+        q = jnp.ones((1, 10, 6))
+        e = embed_queries(TINY_AE, q)
+        assert e.shape == (1, 10, 54)
+        assert e.dtype == jnp.float32
+
+    def test_apply_displacement_modes(self):
+        cfg = TINY_AE
+        v = jnp.zeros((1, 5, 3))
+        d = jnp.full((1, 2, 5, 3), 2.0)
+        out = apply_displacement(cfg, v, d)
+        np.testing.assert_allclose(np.asarray(out), 1.0)  # clamped
+        cfg_res = AutoencoderConfig(prediction_mode="residual")
+        out2 = apply_displacement(cfg_res, jnp.full((1, 5, 3), -0.5), d)
+        np.testing.assert_allclose(np.asarray(out2), 1.0)

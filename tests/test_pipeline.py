@@ -1,0 +1,91 @@
+"""End-to-end pipeline test: video -> 4D on a tiny model (CPU, stub stage 0)."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from actionmesh_tpu.io.video_input import ActionMeshInput
+from actionmesh_tpu.models.dinov2 import DinoV2Config
+from actionmesh_tpu.models.image_encoder import ImageEncoder
+from actionmesh_tpu.pipeline import ActionMeshPipeline
+
+TINY_UPDATES = {
+    "temporal_3D_denoiser.num_tokens_nominal": 16,
+    "temporal_3D_denoiser.width": 64,
+    "temporal_3D_denoiser.num_layers": 3,
+    "temporal_3D_denoiser.num_attention_heads": 2,
+    "temporal_3D_denoiser.in_channels": 8,
+    "temporal_3D_denoiser.cross_attention_dim": 32,
+    "temporal_3D_denoiser.inflated_layers": [0, 1, 2],
+    "temporal_3D_denoiser.temporal_context_size": 16,
+    "temporal_3D_vae.latent_channels": 8,
+    "temporal_3D_vae.width": 64,
+    "temporal_3D_vae.num_layers": 2,
+    "temporal_3D_vae.num_attention_heads": 2,
+    "scheduler.num_inference_steps": 2,
+    "attn_impl": "chunked",
+    "compute_dtype": "float32",
+}
+
+TINY_DINO = DinoV2Config(
+    hidden_size=32, num_layers=2, num_heads=2, patch_size=14, image_size=70
+)
+
+
+def make_frames(n=16, size=64, seed=0):
+    rng = np.random.default_rng(seed)
+    frames = []
+    for i in range(n):
+        rgba = np.zeros((size, size, 4), dtype=np.uint8)
+        # a moving square on transparent background
+        x = 8 + i
+        rgba[16:48, x : x + 24, :3] = rng.integers(64, 255, size=3, dtype=np.uint8)
+        rgba[16:48, x : x + 24, 3] = 255
+        frames.append(Image.fromarray(rgba))
+    return frames
+
+
+@pytest.fixture(scope="module")
+def tiny_pipeline():
+    import jax.numpy as jnp
+
+    pipe = ActionMeshPipeline(
+        config_name="actionmesh",
+        weights_dir=None,
+        config_updates=dict(TINY_UPDATES),
+        dtype=jnp.float32,
+    )
+    # tiny DINOv2 (random weights): 5x5 patch grid + cls = 26 tokens, dim 32
+    pipe.image_encoder = ImageEncoder(
+        weights_dir=None, dtype=jnp.float32, config=TINY_DINO
+    )
+    # stub stage 0 latent must match the tiny latent shape
+    from actionmesh_tpu.models.stage0 import StubImageTo3D
+
+    pipe.image_to_3d = StubImageTo3D(latent_shape=(16, 8))
+    return pipe
+
+
+def test_video_to_4d_16_frames(tiny_pipeline):
+    frames = make_frames(16)
+    input = ActionMeshInput(
+        frames=frames, timesteps=np.arange(16, dtype=np.float32)
+    )
+    meshes = tiny_pipeline(input, seed=44)
+    # subsampling_level=1 => outputs at every input timestep
+    assert len(meshes) == 16
+    topo = meshes[0].faces
+    for m in meshes:
+        assert np.array_equal(m.faces, topo), "all meshes share anchor topology"
+        assert np.isfinite(m.vertices).all()
+        assert m.vertices.min() >= -1.0 and m.vertices.max() <= 1.0
+
+
+def test_video_to_4d_ar_windows(tiny_pipeline):
+    """>16 frames exercises the autoregressive sliding-window path."""
+    frames = make_frames(18)
+    input = ActionMeshInput(
+        frames=frames, timesteps=np.arange(18, dtype=np.float32)
+    )
+    meshes = tiny_pipeline(input, seed=7)
+    assert len(meshes) == 18
