@@ -1,0 +1,326 @@
+"""Iso-surface extraction: marching tetrahedra + hierarchical refinement.
+
+TPU-native replacement for the reference's CUDA octree/marching-cubes stack
+(reference: actionmesh/external/triposg.py:174-205 uses TripoSG
+``hierarchical_extract_geometry`` with dense depth 8 + refine depth 9; the
+triangulation itself is library CUDA/C++). Split of labor here:
+
+  * SDF evaluation — batched on TPU (the caller's ``sdf_fn`` is a jitted
+    chunked query of the VAE decoder's cross-attention field).
+  * Triangulation — vectorized numpy marching *tetrahedra* on host (each
+    cube splits into 6 tets; all cells process in one vectorized pass).
+    Exact vertex welding via grid-edge keys. A native C++ backend can slot
+    in later; decimation to 40k faces follows either way.
+
+Hierarchical scheme: evaluate a dense coarse grid (2^d + 1 per axis), find
+sign-crossing cells, re-evaluate only those cells' subdivided corners at
+the fine depth, triangulate fine cells. This keeps fine-level SDF queries
+proportional to surface area, not volume.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+
+# 6-tetrahedra decomposition of a cube around the 0-6 diagonal.
+# Corner order: bit0=x, bit1=y, bit2=z (corner 3 = x+y, corner 6 = y+z, ...)
+_CUBE_CORNERS = np.array(
+    [
+        [0, 0, 0],  # 0
+        [1, 0, 0],  # 1
+        [0, 1, 0],  # 2
+        [1, 1, 0],  # 3
+        [0, 0, 1],  # 4
+        [1, 0, 1],  # 5
+        [0, 1, 1],  # 6
+        [1, 1, 1],  # 7
+    ],
+    dtype=np.int64,
+)
+
+_TETS = np.array(
+    [
+        [0, 1, 3, 7],
+        [0, 3, 2, 7],
+        [0, 2, 6, 7],
+        [0, 6, 4, 7],
+        [0, 4, 5, 7],
+        [0, 5, 1, 7],
+    ],
+    dtype=np.int64,
+)
+
+
+def _tet_case_table() -> dict[int, list[tuple[tuple[int, int], ...]]]:
+    """case id (4 inside-bits) -> list of triangles, each = 3 tet edges."""
+    table: dict[int, list] = {0: [], 15: []}
+    others = lambda i: [j for j in range(4) if j != i]
+    # one inside
+    for i in range(4):
+        j, k, l = others(i)
+        table[1 << i] = [(((i, j)), ((i, k)), ((i, l)))]
+    # three inside (= one outside): reversed winding
+    for i in range(4):
+        j, k, l = others(i)
+        table[15 ^ (1 << i)] = [(((i, j)), ((i, l)), ((i, k)))]
+    # two inside
+    for a in range(4):
+        for b in range(a + 1, 4):
+            c, d = [j for j in range(4) if j not in (a, b)]
+            case = (1 << a) | (1 << b)
+            table[case] = [
+                ((a, c), (a, d), (b, d)),
+                ((a, c), (b, d), (b, c)),
+            ]
+    return table
+
+
+_TET_TABLE = _tet_case_table()
+
+
+def marching_tetrahedra(
+    corner_points: np.ndarray,
+    corner_values: np.ndarray,
+    corner_ids: np.ndarray,
+    level: float = 0.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Triangulate cells given their 8 corner samples.
+
+    Args:
+        corner_points (C, 8, 3): cell corner positions.
+        corner_values (C, 8): SDF values at corners.
+        corner_ids (C, 8): globally unique integer ids per corner (for exact
+            vertex welding across cells).
+        level: iso level.
+
+    Returns:
+        (vertices (V, 3) float32, faces (F, 3) int64).
+    """
+    C = corner_points.shape[0]
+    if C == 0:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64)
+
+    # Gather per-tet data: (C, 6, 4, ...)
+    tet_pts = corner_points[:, _TETS]  # (C, 6, 4, 3)
+    tet_vals = corner_values[:, _TETS]  # (C, 6, 4)
+    tet_ids = corner_ids[:, _TETS]  # (C, 6, 4)
+
+    tet_pts = tet_pts.reshape(-1, 4, 3)
+    tet_vals = tet_vals.reshape(-1, 4)
+    tet_ids = tet_ids.reshape(-1, 4)
+
+    inside = tet_vals < level  # (M, 4)
+    case = (
+        inside[:, 0].astype(np.int64)
+        | (inside[:, 1] << 1)
+        | (inside[:, 2] << 2)
+        | (inside[:, 3] << 3)
+    )
+
+    tri_edges_a = []
+    tri_edges_b = []
+    tri_tets = []
+    for case_id, tris in _TET_TABLE.items():
+        if not tris:
+            continue
+        sel = np.nonzero(case == case_id)[0]
+        if len(sel) == 0:
+            continue
+        for tri in tris:
+            a_idx = np.array([e[0] for e in tri])
+            b_idx = np.array([e[1] for e in tri])
+            tri_edges_a.append(np.broadcast_to(a_idx, (len(sel), 3)))
+            tri_edges_b.append(np.broadcast_to(b_idx, (len(sel), 3)))
+            tri_tets.append(sel)
+
+    if not tri_tets:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64)
+
+    edge_a = np.concatenate(tri_edges_a)  # (F, 3) local tet vertex idx
+    edge_b = np.concatenate(tri_edges_b)
+    tet_of_face = np.concatenate(tri_tets)  # (F,)
+
+    # Interpolate crossing points for all face corners at once
+    va = np.take_along_axis(tet_vals[tet_of_face], edge_a, axis=1)  # (F, 3)
+    vb = np.take_along_axis(tet_vals[tet_of_face], edge_b, axis=1)
+    t = (level - va) / np.where(np.abs(vb - va) < 1e-12, 1e-12, vb - va)
+    t = np.clip(t, 0.0, 1.0)[..., None]
+    pa = np.take_along_axis(
+        tet_pts[tet_of_face], edge_a[..., None], axis=1
+    )  # (F, 3, 3)
+    pb = np.take_along_axis(tet_pts[tet_of_face], edge_b[..., None], axis=1)
+    pts = pa + t * (pb - pa)  # (F, 3, 3)
+
+    # Weld: a crossing is identified by its global grid-edge id pair
+    ga = np.take_along_axis(tet_ids[tet_of_face], edge_a, axis=1)
+    gb = np.take_along_axis(tet_ids[tet_of_face], edge_b, axis=1)
+    lo = np.minimum(ga, gb)
+    hi = np.maximum(ga, gb)
+    edge_key = lo.astype(np.int64) * (2**31) + hi.astype(np.int64)
+
+    flat_keys = edge_key.reshape(-1)
+    uniq_keys, first_idx, inverse = np.unique(
+        flat_keys, return_index=True, return_inverse=True
+    )
+    vertices = pts.reshape(-1, 3)[first_idx].astype(np.float32)
+    faces = inverse.reshape(-1, 3)
+
+    # drop degenerate faces (two corners welded to the same vertex)
+    ok = (
+        (faces[:, 0] != faces[:, 1])
+        & (faces[:, 1] != faces[:, 2])
+        & (faces[:, 0] != faces[:, 2])
+    )
+    return vertices, faces[ok]
+
+
+def _grid_points(bounds_lo, bounds_hi, resolution: int) -> np.ndarray:
+    axes = [
+        np.linspace(bounds_lo[i], bounds_hi[i], resolution, dtype=np.float32)
+        for i in range(3)
+    ]
+    gx, gy, gz = np.meshgrid(*axes, indexing="ij")
+    return np.stack([gx, gy, gz], axis=-1)  # (R, R, R, 3)
+
+
+def extract_geometry_dense(
+    sdf_fn: Callable[[np.ndarray], np.ndarray],
+    bounds: tuple[float, ...] = (-1.005, -1.005, -1.005, 1.005, 1.005, 1.005),
+    octree_depth: int = 8,
+    level: float = 0.0,
+    chunk: int = 1 << 18,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Dense-grid extraction at resolution 2^depth + 1."""
+    lo, hi = np.array(bounds[:3]), np.array(bounds[3:])
+    R = (1 << octree_depth) + 1
+    pts = _grid_points(lo, hi, R)
+    vals = _eval_chunked(sdf_fn, pts.reshape(-1, 3), chunk).reshape(R, R, R)
+    return _triangulate_full_grid(pts, vals, level)
+
+
+def _eval_chunked(sdf_fn, pts: np.ndarray, chunk: int) -> np.ndarray:
+    out = np.empty((pts.shape[0],), np.float32)
+    for s in range(0, pts.shape[0], chunk):
+        out[s : s + chunk] = np.asarray(
+            sdf_fn(pts[s : s + chunk]), np.float32
+        ).reshape(-1)
+    return out
+
+
+def _triangulate_full_grid(pts, vals, level):
+    R = vals.shape[0]
+    inside = vals < level
+    cell_cross = np.zeros((R - 1, R - 1, R - 1), bool)
+    # a cell crosses if its 8 corners are not all the same sign
+    sub = lambda a: [a[:-1, :-1, :-1], a[1:, :-1, :-1], a[:-1, 1:, :-1],
+                     a[1:, 1:, :-1], a[:-1, :-1, 1:], a[1:, :-1, 1:],
+                     a[:-1, 1:, 1:], a[1:, 1:, 1:]]
+    corners_in = np.stack(sub(inside), axis=-1)
+    any_in = corners_in.any(axis=-1)
+    all_in = corners_in.all(axis=-1)
+    cell_cross = any_in & ~all_in
+
+    ci, cj, ck = np.nonzero(cell_cross)
+    base = np.stack([ci, cj, ck], axis=-1)  # (C, 3)
+    corner_idx = base[:, None, :] + _CUBE_CORNERS[None]  # (C, 8, 3)
+    flat = (
+        corner_idx[..., 0] * R * R + corner_idx[..., 1] * R + corner_idx[..., 2]
+    )
+    corner_points = pts.reshape(-1, 3)[flat]
+    corner_values = vals.reshape(-1)[flat]
+    return marching_tetrahedra(corner_points, corner_values, flat, level)
+
+
+def hierarchical_extract_geometry(
+    sdf_fn: Callable[[np.ndarray], np.ndarray],
+    bounds: tuple[float, ...] = (-1.005, -1.005, -1.005, 1.005, 1.005, 1.005),
+    dense_octree_depth: int = 8,
+    hierarchical_octree_depth: int = 9,
+    level: float = 0.0,
+    chunk: int = 1 << 18,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Coarse dense pass + fine re-evaluation only in surface-crossing cells.
+
+    Matches the reference contract (dense depth 8 => 257^3 samples, refine
+    depth 9) while keeping fine-level SDF queries proportional to surface
+    area. Returns (vertices, faces).
+    """
+    lo, hi = np.array(bounds[:3]), np.array(bounds[3:])
+    Rc = (1 << dense_octree_depth) + 1
+    coarse_pts = _grid_points(lo, hi, Rc)
+    coarse_vals = _eval_chunked(sdf_fn, coarse_pts.reshape(-1, 3), chunk)
+    coarse_vals = coarse_vals.reshape(Rc, Rc, Rc)
+
+    if hierarchical_octree_depth <= dense_octree_depth:
+        return _triangulate_full_grid(coarse_pts, coarse_vals, level)
+
+    s = 1 << (hierarchical_octree_depth - dense_octree_depth)  # subdiv/axis
+    inside = coarse_vals < level
+    subfn = lambda a: [a[:-1, :-1, :-1], a[1:, :-1, :-1], a[:-1, 1:, :-1],
+                       a[1:, 1:, :-1], a[:-1, :-1, 1:], a[1:, :-1, 1:],
+                       a[:-1, 1:, 1:], a[1:, 1:, 1:]]
+    corners_in = np.stack(subfn(inside), axis=-1)
+    cross = corners_in.any(-1) & ~corners_in.all(-1)
+    ci, cj, ck = np.nonzero(cross)
+    if len(ci) == 0:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64)
+
+    cell_size = (hi - lo) / (Rc - 1)
+    fine_R = (Rc - 1) * s + 1  # global fine grid resolution
+
+    # Fine corner lattice per crossing cell: (C, s+1, s+1, s+1, 3)
+    offs = np.arange(s + 1, dtype=np.float32) / s
+    ox, oy, oz = np.meshgrid(offs, offs, offs, indexing="ij")
+    local = np.stack([ox, oy, oz], axis=-1)  # (s+1, s+1, s+1, 3)
+    base_pos = lo + np.stack([ci, cj, ck], -1).astype(np.float32) * cell_size
+    fine_pts = (
+        base_pos[:, None, None, None, :] + local[None] * cell_size
+    )  # (C, s+1, s+1, s+1, 3)
+
+    # Global fine ids for welding (dedupe across neighboring cells)
+    gi = ci[:, None, None, None] * s + np.arange(s + 1)[None, :, None, None]
+    gj = cj[:, None, None, None] * s + np.arange(s + 1)[None, None, :, None]
+    gk = ck[:, None, None, None] * s + np.arange(s + 1)[None, None, None, :]
+    fine_ids = (gi * fine_R + gj) * fine_R + gk  # (C, s+1, s+1, s+1)
+
+    # Deduplicate shared corners before evaluation
+    flat_ids = fine_ids.reshape(-1)
+    uniq_ids, first_idx, inv = np.unique(
+        flat_ids, return_index=True, return_inverse=True
+    )
+    uniq_pts = fine_pts.reshape(-1, 3)[first_idx]
+    uniq_vals = _eval_chunked(sdf_fn, uniq_pts, chunk)
+    fine_vals = uniq_vals[inv].reshape(fine_ids.shape)
+
+    # Triangulate each fine sub-cell
+    cells_per = s
+    # build (C * s^3, 8, ...) corner arrays
+    def cell_corners(arr):
+        stacks = []
+        for dx, dy, dz in _CUBE_CORNERS:
+            stacks.append(
+                arr[:, dx : dx + cells_per, dy : dy + cells_per, dz : dz + cells_per]
+            )
+        return np.stack(stacks, axis=-1)  # (C, s, s, s, 8)
+
+    cp = np.stack(
+        [
+            fine_pts[:, dx : dx + cells_per, dy : dy + cells_per,
+                     dz : dz + cells_per]
+            for dx, dy, dz in _CUBE_CORNERS
+        ],
+        axis=-2,
+    )  # (C, s, s, s, 8, 3)
+    cv = cell_corners(fine_vals)  # (C, s, s, s, 8)
+    cids = cell_corners(fine_ids)
+
+    cp = cp.reshape(-1, 8, 3)
+    cv = cv.reshape(-1, 8)
+    cids = cids.reshape(-1, 8)
+
+    # only keep crossing fine cells
+    fin = cv < level
+    keep = fin.any(axis=1) & ~fin.all(axis=1)
+    return marching_tetrahedra(cp[keep], cv[keep], cids[keep], level)

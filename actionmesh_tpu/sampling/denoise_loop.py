@@ -59,7 +59,7 @@ def get_noise(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dcfg", "guidance", "is_additive", "attn_impl"),
+    static_argnames=("dcfg", "guidance", "is_additive", "attn_impl", "mesh"),
 )
 def denoise_window(
     params,
@@ -73,6 +73,7 @@ def denoise_window(
     distances: jnp.ndarray,
     is_additive: bool = True,
     attn_impl: str = "auto",
+    mesh=None,
 ) -> jnp.ndarray:
     """Denoise one AR window.
 
@@ -105,9 +106,22 @@ def denoise_window(
         mask_g.astype(compute_dtype) if mask_g is not None else None
     )
 
+    # Under a device mesh, pin the CFG branch axis to the dp mesh axis so
+    # GSPMD splits the guidance branches across chips (parallel/mesh.py).
+    def _dp(x):
+        if mesh is None or x is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P("dp"))
+        )
+
+    context_g = _dp(context_g)
+
     def step(latents, step_inputs):
         t, dist = step_inputs
-        hidden = jnp.concatenate([latents] * g, axis=0)
+        hidden = _dp(jnp.concatenate([latents] * g, axis=0))
         diffusion_time = jnp.full((g * B,), t, dtype=compute_dtype)
         pred = denoiser_forward(
             params,

@@ -1,0 +1,149 @@
+"""Geometry ops: FPS, marching tetrahedra, hierarchical extraction, mesh IO."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from actionmesh_tpu.io.mesh import Mesh, load_glb, save_glb
+from actionmesh_tpu.ops.fps import farthest_point_sampling, sample_pc_grouped
+from actionmesh_tpu.ops.isosurface import (
+    extract_geometry_dense,
+    hierarchical_extract_geometry,
+)
+from actionmesh_tpu.preprocessing.mesh import (
+    MeshPostprocessor,
+    normalize_mesh,
+    remove_floaters,
+    sample_surface,
+)
+
+
+def sphere_sdf(pts, radius=0.6):
+    return np.linalg.norm(pts, axis=-1) - radius
+
+
+class TestFPS:
+    def test_fps_spreads_points(self):
+        key = jax.random.PRNGKey(0)
+        # two well-separated clusters; FPS must sample from both
+        c1 = jax.random.normal(key, (1, 100, 3)) * 0.01
+        c2 = c1 + 10.0
+        pts = jnp.concatenate([c1, c2], axis=1)
+        sampled, idx = farthest_point_sampling(pts, 8)
+        assert sampled.shape == (1, 8, 3)
+        from_c2 = (np.asarray(idx[0]) >= 100).sum()
+        assert 2 <= from_c2 <= 6  # both clusters represented
+
+    def test_fps_no_duplicates(self):
+        pts = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 3))
+        _, idx = farthest_point_sampling(pts, 16)
+        for b in range(2):
+            assert len(set(np.asarray(idx[b]).tolist())) == 16
+
+    def test_grouped_sampling_shares_indices(self):
+        pts = jax.random.normal(jax.random.PRNGKey(2), (4, 32, 3))  # B*T=4, T=2
+        _, idx = sample_pc_grouped(pts, 8, n_grouped_frames=2)
+        assert np.array_equal(np.asarray(idx[0]), np.asarray(idx[1]))
+        assert np.array_equal(np.asarray(idx[2]), np.asarray(idx[3]))
+
+
+class TestIsosurface:
+    def test_sphere_dense(self):
+        v, f = extract_geometry_dense(sphere_sdf, octree_depth=5)
+        assert len(v) > 100 and len(f) > 100
+        radii = np.linalg.norm(v, axis=1)
+        np.testing.assert_allclose(radii, 0.6, atol=0.01)
+
+    def test_sphere_hierarchical_matches_radius(self):
+        v, f = hierarchical_extract_geometry(
+            sphere_sdf, dense_octree_depth=4, hierarchical_octree_depth=6
+        )
+        radii = np.linalg.norm(v, axis=1)
+        np.testing.assert_allclose(radii, 0.6, atol=0.005)
+        # watertight-ish: every edge shared by exactly 2 faces
+        mesh = Mesh(vertices=v, faces=f)
+        edges = np.concatenate(
+            [mesh.faces[:, [0, 1]], mesh.faces[:, [1, 2]], mesh.faces[:, [2, 0]]]
+        )
+        edges = np.sort(edges, axis=1)
+        _, counts = np.unique(edges, axis=0, return_counts=True)
+        assert (counts == 2).mean() > 0.99
+
+    def test_hierarchical_finer_than_dense(self):
+        v1, _ = extract_geometry_dense(sphere_sdf, octree_depth=4)
+        v2, _ = hierarchical_extract_geometry(
+            sphere_sdf, dense_octree_depth=4, hierarchical_octree_depth=6
+        )
+        err1 = np.abs(np.linalg.norm(v1, axis=1) - 0.6).max()
+        err2 = np.abs(np.linalg.norm(v2, axis=1) - 0.6).max()
+        assert err2 < err1
+
+    def test_surface_area_close_to_analytic(self):
+        v, f = hierarchical_extract_geometry(
+            sphere_sdf, dense_octree_depth=4, hierarchical_octree_depth=6
+        )
+        mesh = Mesh(vertices=v, faces=f)
+        analytic = 4 * np.pi * 0.6**2
+        assert abs(mesh.area - analytic) / analytic < 0.02
+
+
+class TestMeshOps:
+    def _sphere(self):
+        v, f = hierarchical_extract_geometry(
+            sphere_sdf, dense_octree_depth=4, hierarchical_octree_depth=5
+        )
+        return Mesh(vertices=v, faces=f)
+
+    def test_glb_roundtrip(self, tmp_path):
+        mesh = self._sphere()
+        path = tmp_path / "m.glb"
+        save_glb(mesh, path)
+        re = load_glb(path)
+        assert re.n_faces == mesh.n_faces
+        np.testing.assert_allclose(re.vertices, mesh.vertices, atol=1e-6)
+
+    def test_remove_floaters(self):
+        big = self._sphere()
+        tiny = Mesh(
+            vertices=np.array([[2, 2, 2], [2.1, 2, 2], [2, 2.1, 2]]),
+            faces=np.array([[0, 1, 2]]),
+        )
+        combined = Mesh(
+            vertices=np.concatenate([big.vertices, tiny.vertices]),
+            faces=np.concatenate([big.faces, tiny.faces + big.n_vertices]),
+        )
+        cleaned = remove_floaters(combined, threshold=0.02)
+        assert cleaned.n_faces == big.n_faces
+
+    def test_decimation_via_postprocessor(self):
+        mesh = self._sphere()
+        target = mesh.n_faces // 4
+        proc = MeshPostprocessor(face_decimation=target, floaters_threshold=0.0)
+        out = proc.process_mesh(mesh, seed=1)
+        assert out.n_faces <= target * 1.05
+        # shape roughly preserved
+        radii = np.linalg.norm(out.vertices, axis=1)
+        assert abs(radii.mean() - 0.6) < 0.05
+
+    def test_normalize_mesh(self):
+        mesh = Mesh(
+            vertices=np.random.default_rng(0).uniform(3, 9, (100, 3)),
+            faces=np.array([[0, 1, 2]]),
+        )
+        normed, center, factor = normalize_mesh(mesh)
+        b = normed.bounds
+        assert b.min() >= -1.0 - 1e-9 and b.max() <= 1.0 + 1e-9
+        from actionmesh_tpu.preprocessing.mesh import denormalize_mesh
+
+        back = denormalize_mesh(normed, center, factor)
+        np.testing.assert_allclose(back.vertices, mesh.vertices, atol=1e-9)
+
+    def test_sample_surface(self):
+        mesh = self._sphere()
+        pts = sample_surface(mesh, 1000, seed=3)
+        assert pts.shape == (1000, 6)
+        radii = np.linalg.norm(pts[:, :3], axis=1)
+        np.testing.assert_allclose(radii, 0.6, atol=0.03)
+        # normals roughly radial
+        cos = np.sum(pts[:, :3] / radii[:, None] * pts[:, 3:], axis=1)
+        assert (np.abs(cos) > 0.9).mean() > 0.95
