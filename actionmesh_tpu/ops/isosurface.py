@@ -201,11 +201,18 @@ def extract_geometry_dense(
 
 
 def _eval_chunked(sdf_fn, pts: np.ndarray, chunk: int) -> np.ndarray:
-    out = np.empty((pts.shape[0],), np.float32)
-    for s in range(0, pts.shape[0], chunk):
-        out[s : s + chunk] = np.asarray(
-            sdf_fn(pts[s : s + chunk]), np.float32
-        ).reshape(-1)
+    """Evaluate sdf_fn in fixed-size chunks (tail padded, so a jitted
+    sdf_fn compiles exactly once per chunk size)."""
+    n = pts.shape[0]
+    out = np.empty((n,), np.float32)
+    for s in range(0, n, chunk):
+        block = pts[s : s + chunk]
+        if block.shape[0] < chunk:
+            block = np.concatenate(
+                [block, np.zeros((chunk - block.shape[0], 3), pts.dtype)]
+            )
+        vals = np.asarray(sdf_fn(block), np.float32).reshape(-1)
+        out[s : s + chunk] = vals[: n - s if n - s < chunk else chunk]
     return out
 
 
