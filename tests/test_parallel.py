@@ -1,0 +1,101 @@
+"""Sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from actionmesh_tpu.models.denoiser import DenoiserConfig, init_denoiser
+from actionmesh_tpu.parallel.mesh import (
+    autoencoder_param_shardings,
+    denoiser_param_shardings,
+    make_mesh,
+    shard_params,
+)
+from actionmesh_tpu.sampling.denoise_loop import denoise_window, get_noise
+from actionmesh_tpu.sampling.flow_schedule import get_schedule
+from actionmesh_tpu.sampling.guidance import make_guidance
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+CFG = DenoiserConfig(
+    num_tokens_nominal=16,
+    temporal_context_size=4,
+    in_channels=8,
+    num_layers=2,
+    num_attention_heads=4,
+    width=64,
+    mlp_ratio=2.0,
+    cross_attention_dim=16,
+    inflated_layers=(0, 1),
+)
+
+
+def _make_inputs():
+    guidance = make_guidance([[0, 1], [1, 1]], [7.5])
+    B, T, N = 1, 4, CFG.num_tokens_nominal
+    key = jax.random.PRNGKey(7)
+    init_latent = get_noise(key, (N, CFG.in_channels), B, T)
+    context = jax.random.normal(key, (B, T, 5, CFG.cross_attention_dim))
+    mask = jnp.array([[1, 0, 0, 0]], jnp.int32)
+    framestep = jnp.arange(T, dtype=jnp.float32)[None]
+    ts, dist = get_schedule(2, shift=3.0)
+    return guidance, init_latent, context, mask, framestep, ts, dist
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(8)
+    assert mesh.devices.shape == (2, 4)
+    mesh2 = make_mesh(8, dp=1)
+    assert mesh2.devices.shape == (1, 8)
+
+
+def test_sharded_denoise_matches_unsharded():
+    params = init_denoiser(jax.random.PRNGKey(0), CFG)
+    guidance, init_latent, context, mask, framestep, ts, dist = _make_inputs()
+
+    ref = denoise_window(
+        params, CFG, guidance, init_latent, context, mask, framestep,
+        jnp.asarray(ts), jnp.asarray(dist), attn_impl="chunked",
+    )
+
+    mesh = make_mesh(8)  # dp=2 x tp=4
+    shardings = denoiser_param_shardings(params, mesh)
+    sharded = shard_params(params, shardings)
+    out = denoise_window(
+        sharded, CFG, guidance, init_latent, context, mask, framestep,
+        jnp.asarray(ts), jnp.asarray(dist), attn_impl="chunked", mesh=mesh,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_param_shardings_cover_tree():
+    params = init_denoiser(jax.random.PRNGKey(0), CFG)
+    mesh = make_mesh(8)
+    shardings = denoiser_param_shardings(params, mesh)
+    # structures must match exactly
+    jax.tree.map(lambda p, s: None, params, shardings)
+    # qkv kernels are tp-column-sharded
+    s = shardings["blocks"][0]["s_attn"]["to_q"]["kernel"]
+    assert s.spec == jax.sharding.PartitionSpec(None, "tp")
+    s_out = shardings["blocks"][0]["s_attn"]["to_out"]["kernel"]
+    assert s_out.spec == jax.sharding.PartitionSpec("tp", None)
+
+
+def test_autoencoder_shardings_cover_tree():
+    from actionmesh_tpu.models.autoencoder import (
+        AutoencoderConfig,
+        init_autoencoder,
+    )
+
+    cfg = AutoencoderConfig(
+        latent_channels=8, width=32, num_layers=2, num_attention_heads=4
+    )
+    params = init_autoencoder(jax.random.PRNGKey(1), cfg)
+    mesh = make_mesh(8)
+    shardings = autoencoder_param_shardings(params, mesh)
+    jax.tree.map(lambda p, s: None, params, shardings)
