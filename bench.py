@@ -67,11 +67,10 @@ def main() -> None:
         )
         return float(np.asarray(out[0, 0, 0, 0].astype(jnp.float32)))
 
-    # Warmup / compile (both step counts share one compiled scan body, but
-    # scan length is baked in — compile each).
-    warm_steps, bench_steps = (1, 6) if on_tpu else (1, 2)
-    run(warm_steps)
-    run(bench_steps)  # compile the bench-length scan
+    # One compile (scan length is baked into the program, so warm with the
+    # bench length directly), then a timed run.
+    bench_steps = 6 if on_tpu else 2
+    run(bench_steps)
     t0 = time.perf_counter()
     run(bench_steps)
     elapsed = time.perf_counter() - t0
