@@ -32,6 +32,10 @@ class SchedulerConfig:
     shift: float = 3.0
     is_additive: bool = True
     split_cfg_batch: bool = False  # accepted for parity; TPU shards instead
+    # Steps per compiled launch: bounds device time per XLA program (the
+    # axon tunnel kills multi-minute programs) and shares one compiled
+    # program across all full segments.
+    steps_per_launch: int = 5
 
 
 @dataclasses.dataclass

@@ -47,7 +47,10 @@ from actionmesh_tpu.preprocessing.mesh import (
     MeshPostprocessor,
     get_mesh_features,
 )
-from actionmesh_tpu.sampling.denoise_loop import denoise_window, get_noise
+from actionmesh_tpu.sampling.denoise_loop import (
+    denoise_window_segmented,
+    get_noise,
+)
 from actionmesh_tpu.sampling.flow_schedule import get_schedule
 from actionmesh_tpu.sampling.guidance import make_guidance
 from actionmesh_tpu.utils.banks import LatentBank, MeshBank
@@ -267,9 +270,7 @@ class ActionMeshPipeline:
             self.cfg.cf_guidance.guidance_scales,
             self.cfg.cf_guidance.inference_enabled,
         )
-        if step_callback is not None:
-            step_callback(1, self.cfg.scheduler.num_inference_steps)
-        latents = denoise_window(
+        latents = denoise_window_segmented(
             self.denoiser_params,
             self.denoiser_config,
             guidance,
@@ -281,12 +282,9 @@ class ActionMeshPipeline:
             jnp.asarray(distances),
             is_additive=self.cfg.scheduler.is_additive,
             attn_impl=self.cfg.attn_impl,
+            steps_per_launch=self.cfg.scheduler.steps_per_launch,
+            step_callback=step_callback,
         )
-        if step_callback is not None:
-            step_callback(
-                self.cfg.scheduler.num_inference_steps,
-                self.cfg.scheduler.num_inference_steps,
-            )
         return latents
 
     def generate_3d_latents(
@@ -325,7 +323,9 @@ class ActionMeshPipeline:
                     seed=seed + i,
                     step_callback=_step_cb,
                 )
-            window_latents.block_until_ready()
+            from actionmesh_tpu.utils import device_sync
+
+            device_sync(window_latents)
             logger.info(
                 "Stage I window %d/%d: %.2fs",
                 i + 1, total_windows, time.perf_counter() - t0,

@@ -153,3 +153,52 @@ def denoise_window(
         (timesteps[:-1].astype(compute_dtype), distances.astype(compute_dtype)),
     )
     return final
+
+
+def denoise_window_segmented(
+    params,
+    dcfg: DenoiserConfig,
+    guidance: ClassifierFreeGuidance,
+    init_latent: jnp.ndarray,
+    context: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    framestep: jnp.ndarray,
+    timesteps: jnp.ndarray,
+    distances: jnp.ndarray,
+    is_additive: bool = True,
+    attn_impl: str = "auto",
+    mesh=None,
+    steps_per_launch: int = 5,
+    step_callback=None,
+) -> jnp.ndarray:
+    """Denoise in segments of `steps_per_launch` compiled steps.
+
+    Chaining segments is mathematically identical to one long scan (the
+    loop state is just the latents), but bounds per-launch device time —
+    the axon TPU tunnel kills programs that run for several minutes — and
+    lets all full segments share ONE compiled program regardless of the
+    total step count. Also re-enables mid-loop progress callbacks.
+    """
+    n_steps = distances.shape[0]
+    latents = init_latent
+    done = 0
+    while done < n_steps:
+        seg = min(steps_per_launch, n_steps - done)
+        latents = denoise_window(
+            params,
+            dcfg,
+            guidance,
+            latents,
+            context,
+            mask,
+            framestep,
+            timesteps[done : done + seg + 1],
+            distances[done : done + seg],
+            is_additive=is_additive,
+            attn_impl=attn_impl,
+            mesh=mesh,
+        )
+        done += seg
+        if step_callback is not None:
+            step_callback(done, n_steps)
+    return latents

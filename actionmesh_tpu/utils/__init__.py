@@ -46,3 +46,16 @@ def download_if_missing(repo_id: str, local_dir: str) -> str:
             repo_id, local_dir, e,
         )
     return local_dir
+
+
+def device_sync(x) -> None:
+    """Force completion of a device computation by pulling one scalar.
+
+    The axon TPU tunnel does NOT block on ``block_until_ready``; a tiny
+    device->host transfer is the only reliable synchronization point, so
+    stage timing wraps this (~30-60 ms of tunnel latency).
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    np.asarray(jnp.ravel(x)[0].astype(jnp.float32))

@@ -153,7 +153,12 @@ def load_autoencoder(path: Path, cfg, dtype=jnp.bfloat16) -> dict:
 
 def load_dinov2(path: Path, cfg, dtype=jnp.bfloat16) -> dict:
     """Convert an HF transformers Dinov2Model checkpoint (facebook/dinov2-large)."""
-    state = load_safetensors_dir(path)
+    return convert_dinov2(load_safetensors_dir(path), cfg, dtype)
+
+
+def convert_dinov2(state: dict, cfg, dtype=jnp.bfloat16) -> dict:
+    """Convert a Dinov2Model state dict (torch tensors or numpy arrays)."""
+    state = {k: np.asarray(v) for k, v in state.items()}
 
     def block(i: int) -> dict:
         p = f"encoder.layer.{i}"
