@@ -22,7 +22,6 @@ Functional re-design of the reference autoencoder
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

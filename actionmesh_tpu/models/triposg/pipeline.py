@@ -25,7 +25,6 @@ import numpy as np
 
 from actionmesh_tpu.io.mesh import Mesh
 from actionmesh_tpu.models.denoiser import DenoiserConfig
-from actionmesh_tpu.models.dinov2 import DinoV2Config
 from actionmesh_tpu.models.image_encoder import ImageEncoder
 from actionmesh_tpu.models.triposg.dit import (
     init_triposg_dit,

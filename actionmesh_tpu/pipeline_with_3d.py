@@ -13,10 +13,6 @@ from __future__ import annotations
 import logging
 from typing import Optional
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
 from actionmesh_tpu.io.mesh import Mesh
 from actionmesh_tpu.io.video_input import ActionMeshInput
 from actionmesh_tpu.pipeline import ActionMeshPipeline
