@@ -168,16 +168,25 @@ class TripoSGPipeline:
         ts, dist = get_schedule(
             num_inference_steps, self._num_train_timesteps, self._shift
         )
-        latents = _flow_sample(
-            self.dit_params,
-            self.dit_cfg,
-            noise,
-            context.astype(self._dtype),
-            jnp.asarray(ts),
-            jnp.asarray(dist),
-            guidance_scale=float(guidance_scale),
-            attn_impl=self._attn_impl,
-        )
+        # Segmented launches: bounds per-program device time and shares one
+        # compiled program across different total step counts (see
+        # sampling/denoise_loop.denoise_window_segmented for rationale).
+        latents = noise
+        steps_per_launch = 25
+        done = 0
+        while done < num_inference_steps:
+            seg = min(steps_per_launch, num_inference_steps - done)
+            latents = _flow_sample(
+                self.dit_params,
+                self.dit_cfg,
+                latents,
+                context.astype(self._dtype),
+                jnp.asarray(ts[done : done + seg + 1]),
+                jnp.asarray(dist[done : done + seg]),
+                guidance_scale=float(guidance_scale),
+                attn_impl=self._attn_impl,
+            )
+            done += seg
         meshes = self.decode_latents(
             latents,
             bounds=bounds,

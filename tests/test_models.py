@@ -212,3 +212,33 @@ class TestAutoencoder:
         cfg_res = AutoencoderConfig(prediction_mode="residual")
         out2 = apply_displacement(cfg_res, jnp.full((1, 5, 3), -0.5), d)
         np.testing.assert_allclose(np.asarray(out2), 1.0)
+
+
+class TestSegmentedDenoise:
+    def test_segmented_equals_monolithic(self):
+        from actionmesh_tpu.sampling.denoise_loop import (
+            denoise_window_segmented,
+        )
+
+        cfg = TINY_DENOISER
+        params = init_denoiser(jax.random.PRNGKey(0), cfg)
+        guidance = make_guidance([[0, 1], [1, 1]], [7.5])
+        B, T, N = 1, 4, 8
+        init = get_noise(jax.random.PRNGKey(42), (N, cfg.in_channels), B, T)
+        ctx = jax.random.normal(jax.random.PRNGKey(2), (B, T, 5, 16))
+        mask = jnp.array([[1, 0, 0, 0]], dtype=jnp.int32)
+        framestep = jnp.arange(T, dtype=jnp.float32)[None]
+        ts, dist = get_schedule(7, shift=3.0)
+        args = (params, cfg, guidance, init, ctx, mask, framestep,
+                jnp.asarray(ts), jnp.asarray(dist))
+        mono = denoise_window(*args, is_additive=True, attn_impl="naive")
+        calls = []
+        segmented = denoise_window_segmented(
+            *args, is_additive=True, attn_impl="naive",
+            steps_per_launch=3,
+            step_callback=lambda s, t: calls.append((s, t)),
+        )
+        np.testing.assert_allclose(
+            np.asarray(segmented), np.asarray(mono), atol=1e-5
+        )
+        assert calls == [(3, 7), (6, 7), (7, 7)]
