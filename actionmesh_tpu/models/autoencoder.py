@@ -22,6 +22,7 @@ Functional re-design of the reference autoencoder
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -149,6 +150,9 @@ def embed_queries(cfg: AutoencoderConfig, query: jnp.ndarray) -> jnp.ndarray:
     return embed
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "attn_impl", "compute_dtype")
+)
 def autoencoder_forward(
     params: Params,
     cfg: AutoencoderConfig,

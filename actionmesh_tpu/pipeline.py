@@ -351,9 +351,17 @@ class ActionMeshPipeline:
     ) -> list[Mesh]:
         """Decode one window of latents into deformed meshes."""
         _, n_targets = target_alphas.shape
-        vertex_features = jnp.asarray(
-            get_mesh_features(anchor_mesh, with_normals=True)
-        )[None]
+        vertex_np = get_mesh_features(anchor_mesh, with_normals=True)
+        n_verts = vertex_np.shape[0]
+        # Bucket the vertex count so Stage II compiles once per bucket, not
+        # once per mesh (XLA static shapes vs per-video V — SURVEY §7).
+        # Padded query rows are independent in cross-attention and sliced off.
+        bucket = -(-n_verts // 4096) * 4096
+        if bucket != n_verts:
+            vertex_np = np.concatenate(
+                [vertex_np, np.zeros((bucket - n_verts, 6), vertex_np.dtype)]
+            )
+        vertex_features = jnp.asarray(vertex_np)[None]
 
         chunk = self.cfg.decode_target_chunk or n_targets
         outs = []
@@ -380,7 +388,7 @@ class ActionMeshPipeline:
             vertex_features[..., :3],
             displacement,
         )
-        deformed_np = np.asarray(deformed.astype(jnp.float32))
+        deformed_np = np.asarray(deformed.astype(jnp.float32))[:, :, :n_verts]
         return [
             Mesh(vertices=deformed_np[0, i], faces=anchor_mesh.faces)
             for i in range(n_targets)
