@@ -202,6 +202,26 @@ class ActionMeshPipeline:
         """API parity no-op: arrays are placed by jit on the default device."""
         return self
 
+    def save_pretrained(self, path: str | Path) -> None:
+        """Save the Stage I/II parameters as native npz checkpoints."""
+        from actionmesh_tpu.utils.weights import save_params
+
+        path = Path(path)
+        path.mkdir(parents=True, exist_ok=True)
+        save_params(self.denoiser_params, path / "denoiser.npz")
+        save_params(self.autoencoder_params, path / "autoencoder.npz")
+        logger.info("Saved pipeline weights to %s", path)
+
+    def load_native(self, path: str | Path) -> "ActionMeshPipeline":
+        """Load Stage I/II parameters from native npz checkpoints."""
+        from actionmesh_tpu.utils.weights import load_params
+
+        path = Path(path)
+        self.denoiser_params = load_params(path / "denoiser.npz")
+        self.autoencoder_params = load_params(path / "autoencoder.npz")
+        logger.info("Loaded pipeline weights from %s", path)
+        return self
+
     # ------------------------------------------------------------------
     # Stage 0
     # ------------------------------------------------------------------

@@ -89,3 +89,18 @@ def test_video_to_4d_ar_windows(tiny_pipeline):
     )
     meshes = tiny_pipeline(input, seed=7)
     assert len(meshes) == 18
+
+
+def test_save_load_native_checkpoint(tiny_pipeline, tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    tiny_pipeline.save_pretrained(tmp_path / "ckpt")
+    assert (tmp_path / "ckpt" / "denoiser.npz").exists()
+    orig = tiny_pipeline.denoiser_params
+    tiny_pipeline.load_native(tmp_path / "ckpt")
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        orig,
+        tiny_pipeline.denoiser_params,
+    )
