@@ -239,3 +239,86 @@ def load_params(path: str | Path) -> dict:
         return node
 
     return listify(root)
+
+
+# ---------------------------------------------------------------------------
+# TripoSG converters (best-effort name mapping — upstream source was not
+# vendorable in this environment; failures raise with the available keys so
+# the mapping can be corrected against the real checkpoint)
+# ---------------------------------------------------------------------------
+
+def convert_triposg_dit(state: dict, cfg, dtype=jnp.bfloat16) -> dict:
+    """Convert the TripoSG shape transformer.
+
+    The ActionMesh Stage-I denoiser is derived from this DiT, so the
+    expected parameter layout matches load_denoiser's
+    (time_proj/proj_in/blocks.N/.../norm_out/proj_out).
+    """
+    state = {k: np.asarray(v) for k, v in state.items()}
+    try:
+        return {
+            "time_proj": {
+                "linear_1": _linear(state, "time_proj.linear_1", dtype),
+                "linear_2": _linear(state, "time_proj.linear_2", dtype),
+            },
+            "proj_in": _linear(state, "proj_in", dtype),
+            "blocks": [
+                _flow_block(state, f"blocks.{i}", dtype)
+                for i in range(cfg.num_layers)
+            ],
+            "norm_out": _layer_norm(state, "norm_out"),
+            "proj_out": _linear(state, "proj_out", dtype),
+        }
+    except KeyError as e:
+        raise KeyError(
+            f"TripoSG transformer key mapping mismatch: {e}. Available "
+            f"key prefixes: {sorted({k.split('.')[0] for k in state})}"
+        ) from e
+
+
+def convert_triposg_vae(state: dict, cfg, dtype=jnp.bfloat16) -> dict:
+    """Convert the TripoSG vecset VAE (encoder + decoder + SDF head)."""
+    state = {k: np.asarray(v) for k, v in state.items()}
+
+    def first_prefix(*candidates: str) -> str:
+        for c in candidates:
+            if any(k.startswith(c) for k in state):
+                return c
+        raise KeyError(
+            f"None of {candidates} found. Available prefixes: "
+            f"{sorted({k.split('.')[0] for k in state})}"
+        )
+
+    try:
+        enc = first_prefix("encoder", "enc")
+        dec = first_prefix("decoder", "dec")
+        return {
+            "proj_point": _linear(state, f"{enc}.proj_in", dtype),
+            "enc_cross_attn": _attention(
+                state, f"{enc}.cross_attn.attn", dtype
+            ),
+            "enc_norm_cross": _layer_norm(state, f"{enc}.cross_attn.norm"),
+            "enc_blocks": [
+                _flow_block(state, f"{enc}.blocks.{i}", dtype)
+                for i in range(cfg.encoder_layers)
+            ],
+            "enc_norm_out": _layer_norm(state, f"{enc}.norm_out"),
+            "enc_proj_out": _linear(state, f"{enc}.proj_out", dtype),
+            "post_quant": _linear(state, "post_quant", dtype),
+            "dec_blocks": [
+                _flow_block(state, f"{dec}.blocks.{i}", dtype)
+                for i in range(cfg.decoder_layers)
+            ],
+            "proj_query": _linear(state, f"{dec}.proj_query", jnp.float32),
+            "dec_cross_attn": _attention(
+                state, f"{dec}.cross_attn.attn", dtype, fp32=True
+            ),
+            "dec_norm_cross_q": _layer_norm(state, f"{dec}.cross_attn.norm"),
+            "dec_norm_out": _layer_norm(state, f"{dec}.norm_out"),
+            "dec_proj_out": _linear(state, f"{dec}.proj_out", jnp.float32),
+        }
+    except KeyError as e:
+        raise KeyError(
+            f"TripoSG VAE key mapping mismatch: {e}. Available key "
+            f"prefixes: {sorted({k.split('.')[0] for k in state})}"
+        ) from e
