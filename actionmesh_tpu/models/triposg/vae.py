@@ -160,8 +160,9 @@ def encode_surface(
     """surface (B, N, 3+3) -> latent sample (B, num_tokens, latent_ch).
 
     Mirrors the adapter's ``encode_to_latent`` (triposg.py:153-172):
-    FPS -> queries cross-attend all points -> self-attn -> posterior sample.
-    With noise_key=None, returns the posterior mean (deterministic).
+    random presample (4x tokens, triposg.py:128-133) -> FPS -> queries
+    cross-attend all points -> self-attn -> posterior sample. With
+    noise_key=None, returns the posterior mean (deterministic).
     """
     B, N, _ = surface.shape
     xyz = surface[..., :3]
@@ -170,8 +171,18 @@ def encode_surface(
     )
     feats = linear(params["proj_point"], feats)  # (B, N, W)
 
-    sampled_xyz, idx = farthest_point_sampling(xyz, cfg.num_tokens, key=fps_key)
-    queries = jnp.take_along_axis(feats, idx[..., None], axis=1)
+    # Random presample caps the FPS candidate pool at 4x tokens
+    pre_n = min(cfg.num_tokens * 4, N)
+    if pre_n < N and fps_key is not None:
+        pre_key, fps_key = jax.random.split(fps_key)
+        pre_idx = jax.random.choice(pre_key, N, (pre_n,), replace=False)
+        candidates = xyz[:, pre_idx]
+        cand_feats = feats[:, pre_idx]
+    else:
+        candidates, cand_feats = xyz, feats
+
+    _, idx = farthest_point_sampling(candidates, cfg.num_tokens, key=fps_key)
+    queries = jnp.take_along_axis(cand_feats, idx[..., None], axis=1)
 
     x = queries + attention(
         params["enc_cross_attn"],

@@ -94,6 +94,187 @@ def _pad_to(x: jnp.ndarray, axis: int, multiple: int, value=0.0) -> jnp.ndarray:
     return jnp.pad(x, pads, constant_values=value)
 
 
+# ---------------------------------------------------------------------------
+# Fused variant: rms qk-norm + RoPE applied inside the kernel
+# ---------------------------------------------------------------------------
+
+def _norm_rope(x, scale_row, cos, sin, eps: float = 1e-6):
+    """fp32 rms-norm over D then pairwise rotation. x (S, D) block.
+
+    The pairwise rotation (x0, x1, ...) -> (-x1, x0, -x3, x2, ...) is
+    expressed with lane rolls + an even/odd mask — Mosaic does not support
+    the (S, D) -> (S, D/2, 2) vector reshape.
+    """
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    xf = xf * jax.lax.rsqrt(var + eps) * scale_row
+    S, D = xf.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (S, D), 1)
+    even = (lane % 2) == 0
+    swapped = jnp.where(
+        even, pltpu.roll(xf, D - 1, axis=1), pltpu.roll(xf, 1, axis=1)
+    )
+    rotated = jnp.where(even, -swapped, swapped)
+    return xf * cos + rotated * sin
+
+
+def _flash_fused_kernel(
+    q_ref, k_ref, v_ref, cosq_ref, cosk_ref, sinq_ref, sink_ref,
+    qs_ref, ks_ref, mask_ref,
+    o_ref, acc_ref, m_ref, l_ref, qbuf_ref,
+    *, scale: float, mask_mode: str,
+):
+    k_idx = pl.program_id(3)
+    n_k = pl.num_programs(3)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        # normalize+rotate the q block once per KV sweep
+        qbuf_ref[0] = _norm_rope(
+            q_ref[0, 0], qs_ref[0, 0], cosq_ref[0, 0], sinq_ref[0, 0]
+        )
+
+    # k block: normalize+rotate with the K-side tables
+    k = _norm_rope(k_ref[0, 0], ks_ref[0, 0], cosk_ref[0, 0], sink_ref[0, 0])
+    q = qbuf_ref[0]
+    v = v_ref[0, 0]
+
+    s = jax.lax.dot_general(
+        q.astype(v.dtype), k.astype(v.dtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    if mask_mode == "full":
+        s = jnp.where(mask_ref[0, 0][None, :] != 0, s, NEG_INF)
+    elif mask_mode == "edge":
+        s = jnp.where(
+            jnp.logical_or(k_idx < n_k - 1, mask_ref[0, 0][None, :] != 0),
+            s,
+            NEG_INF,
+        )
+
+    m_prev = m_ref[:, :1]
+    l_prev = l_ref[:, :1]
+    m_cur = jnp.maximum(m_prev, s.max(axis=-1, keepdims=True))
+    p = jnp.exp(s - m_cur)
+    alpha = jnp.exp(m_prev - m_cur)
+    l_cur = l_prev * alpha + p.sum(axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_ref[:, :1] = m_cur
+    l_ref[:, :1] = l_cur
+
+    @pl.when(k_idx == n_k - 1)
+    def _finalize():
+        l = jnp.maximum(l_ref[:, :1], 1e-30)
+        o_ref[0, 0] = (acc_ref[:] / l).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_q", "block_k")
+)
+def flash_attention_fused(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    q_norm_scale: jnp.ndarray,
+    k_norm_scale: jnp.ndarray,
+    scale: Optional[float] = None,
+    block_q: int = 1024,
+    block_k: int = 1024,
+) -> jnp.ndarray:
+    """Flash attention with fused fp32 rms qk-norm + RoPE.
+
+    Applies the Stage-I self-attention pre-processing (qk-norm then RoPE,
+    reference attention_processor.py:121-130) inside the kernel. Measured
+    on v5e at seq 32784 this is NOT faster than the unfused path (98 vs
+    110 TFLOP/s): the K-side norm+rotate recomputes once per Q block,
+    while XLA fuses the standalone norm/rope into neighbouring ops at ~4 ms
+    total. Kept as an optional variant; the default path stays unfused.
+
+    q/k/v (B, H, S, D) pre-norm projections; cos/sin (B, S, D) RoPE tables;
+    q_norm_scale/k_norm_scale (D,) rms-norm weights.
+    """
+    B, H, S, D = q.shape
+    if scale is None:
+        scale = D ** -0.5
+
+    def _round_up(x: int, m: int) -> int:
+        return -(-x // m) * m
+
+    block_q = min(block_q, _round_up(S, 128))
+    block_k = min(block_k, _round_up(S, 128))
+    # one shared block size keeps a single cos/sin block spec
+    block = min(block_q, block_k)
+    mask_mode = "edge" if S % block else "none"
+
+    qp = _pad_to(q, 2, block)
+    kp = _pad_to(k, 2, block)
+    vp = _pad_to(v, 2, block)
+    cosp = _pad_to(cos.astype(jnp.float32), 1, block)[:, None]  # (B,1,Sp,D)
+    sinp = _pad_to(sin.astype(jnp.float32), 1, block)[:, None]
+    maskp = jnp.ones((B, 1, qp.shape[2]), jnp.int32)
+    if S % block:
+        maskp = maskp.at[:, :, S:].set(0)
+    qs = q_norm_scale.astype(jnp.float32)[None, None, :]  # (1,1,D)
+    ks = k_norm_scale.astype(jnp.float32)[None, None, :]
+
+    n_b = qp.shape[2] // block
+    grid = (B, H, n_b, n_b)
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_fused_kernel, scale=scale, mask_mode=mask_mode
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block, D), lambda b, h, qi, ki: (b, h, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block, D), lambda b, h, qi, ki: (b, h, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block, D), lambda b, h, qi, ki: (b, h, ki, 0),
+                         memory_space=pltpu.VMEM),
+            # cos/sin tables passed twice: q-block rows and k-block rows
+            pl.BlockSpec((1, 1, block, D), lambda b, h, qi, ki: (b, 0, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block, D), lambda b, h, qi, ki: (b, 0, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block, D), lambda b, h, qi, ki: (b, 0, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block, D), lambda b, h, qi, ki: (b, 0, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), lambda b, h, qi, ki: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), lambda b, h, qi, ki: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block), lambda b, h, qi, ki: (b, 0, ki),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block, D), lambda b, h, qi, ki: (b, h, qi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(qp.shape, q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block, D), jnp.float32),
+            pltpu.VMEM((block, 128), jnp.float32),
+            pltpu.VMEM((block, 128), jnp.float32),
+            pltpu.VMEM((1, block, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+    )(qp, kp, vp, cosp, cosp, sinp, sinp, qs, ks, maskp)
+    return out[:, :, :S]
+
+
 @functools.partial(
     jax.jit, static_argnames=("scale", "block_q", "block_k")
 )

@@ -62,3 +62,44 @@ def test_flash_interpret_mode_matches_naive():
         pl.pallas_call = orig
     ref = naive_attention(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_fused_interpret_matches_unfused():
+    """Fused rms-norm+RoPE flash kernel vs the composed reference path."""
+    import functools
+
+    from jax.experimental import pallas as pl
+
+    from actionmesh_tpu.models.layers import rms_norm
+    from actionmesh_tpu.ops import flash_attention as fa
+    from actionmesh_tpu.ops.rotary import (
+        apply_rotary_embedding,
+        compute_rotary_embeddings,
+    )
+
+    B, H, S, D = 1, 2, 300, 128
+    key = jax.random.PRNGKey(0)
+    kq, kk, kv, ks = jax.random.split(key, 4)
+    q = jax.random.normal(kq, (B, H, S, D))
+    k = jax.random.normal(kk, (B, H, S, D))
+    v = jax.random.normal(kv, (B, H, S, D))
+    qs = jax.random.normal(ks, (D,)) * 0.1 + 1.0
+    ksc = qs * 0.9
+    cos, sin = compute_rotary_embeddings(D, jnp.linspace(0, 3, S))
+    cosb, sinb = cos[None], sin[None]
+    qn = rms_norm({"scale": qs}, q)
+    kn = rms_norm({"scale": ksc}, k)
+    ref = naive_attention(
+        apply_rotary_embedding(qn, cosb, sinb),
+        apply_rotary_embedding(kn, cosb, sinb),
+        v,
+    )
+    orig = pl.pallas_call
+    try:
+        pl.pallas_call = functools.partial(orig, interpret=True)
+        out = fa.flash_attention_fused(
+            q, k, v, cosb, sinb, qs, ksc, block_q=128, block_k=128
+        )
+    finally:
+        pl.pallas_call = orig
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
