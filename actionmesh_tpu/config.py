@@ -72,6 +72,9 @@ class DenoiserModelConfig:
     inflated_layers: list = dataclasses.field(
         default_factory=lambda: list(range(21))
     )
+    # Reference memory knob (autocast weight-cache clearing); accepted for
+    # preset parity, no-op under XLA (no autocast cache exists).
+    clear_autocast: bool = False
 
 
 @dataclasses.dataclass

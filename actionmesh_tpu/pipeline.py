@@ -304,6 +304,7 @@ class ActionMeshPipeline:
             attn_impl=self.cfg.attn_impl,
             steps_per_launch=self.cfg.scheduler.steps_per_launch,
             step_callback=step_callback,
+            split_cfg_batch=self.cfg.scheduler.split_cfg_batch,
         )
         return latents
 

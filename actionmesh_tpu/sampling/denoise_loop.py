@@ -59,7 +59,10 @@ def get_noise(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dcfg", "guidance", "is_additive", "attn_impl", "mesh"),
+    static_argnames=(
+        "dcfg", "guidance", "is_additive", "attn_impl", "mesh",
+        "split_cfg_batch",
+    ),
 )
 def denoise_window(
     params,
@@ -74,6 +77,7 @@ def denoise_window(
     is_additive: bool = True,
     attn_impl: str = "auto",
     mesh=None,
+    split_cfg_batch: bool = False,
 ) -> jnp.ndarray:
     """Denoise one AR window.
 
@@ -121,19 +125,45 @@ def denoise_window(
 
     def step(latents, step_inputs):
         t, dist = step_inputs
-        hidden = _dp(jnp.concatenate([latents] * g, axis=0))
-        diffusion_time = jnp.full((g * B,), t, dtype=compute_dtype)
-        pred = denoiser_forward(
-            params,
-            dcfg,
-            hidden,
-            context_g,
-            framestep_g,
-            diffusion_time,
-            mask=mask_f,
-            freqs_rot=freqs_rot,
-            attn_impl=attn_impl,
-        )
+        if split_cfg_batch and g > 1:
+            # Low-RAM parity (reference scheduler.py:139-170): run guidance
+            # branches sequentially, halving peak activation memory. On a
+            # multi-chip mesh the dp axis is the better answer; this path
+            # serves single-chip memory-constrained runs.
+            branch_freqs = jax.tree.map(
+                lambda f: f[:B] if hasattr(f, "shape") else f, freqs_rot
+            )
+            preds = []
+            for b in range(g):
+                sl = slice(b * B, (b + 1) * B)
+                preds.append(
+                    denoiser_forward(
+                        params,
+                        dcfg,
+                        latents,
+                        context_g[sl],
+                        framestep_g[sl],
+                        jnp.full((B,), t, dtype=compute_dtype),
+                        mask=mask_f[sl] if mask_f is not None else None,
+                        freqs_rot=branch_freqs,
+                        attn_impl=attn_impl,
+                    )
+                )
+            pred = jnp.concatenate(preds, axis=0)
+        else:
+            hidden = _dp(jnp.concatenate([latents] * g, axis=0))
+            diffusion_time = jnp.full((g * B,), t, dtype=compute_dtype)
+            pred = denoiser_forward(
+                params,
+                dcfg,
+                hidden,
+                context_g,
+                framestep_g,
+                diffusion_time,
+                mask=mask_f,
+                freqs_rot=freqs_rot,
+                attn_impl=attn_impl,
+            )
         pred = guidance.aggregate_cfg(pred)
         if is_additive:
             stepped = latents + dist * pred
@@ -170,6 +200,7 @@ def denoise_window_segmented(
     mesh=None,
     steps_per_launch: int = 5,
     step_callback=None,
+    split_cfg_batch: bool = False,
 ) -> jnp.ndarray:
     """Denoise in segments of `steps_per_launch` compiled steps.
 
@@ -197,6 +228,7 @@ def denoise_window_segmented(
             is_additive=is_additive,
             attn_impl=attn_impl,
             mesh=mesh,
+            split_cfg_batch=split_cfg_batch,
         )
         done += seg
         if step_callback is not None:

@@ -242,3 +242,23 @@ class TestSegmentedDenoise:
             np.asarray(segmented), np.asarray(mono), atol=1e-5
         )
         assert calls == [(3, 7), (6, 7), (7, 7)]
+
+    def test_split_cfg_batch_equals_joint(self):
+        cfg = TINY_DENOISER
+        params = init_denoiser(jax.random.PRNGKey(0), cfg)
+        guidance = make_guidance([[0, 1], [1, 1]], [7.5])
+        B, T, N = 1, 4, 8
+        init = get_noise(jax.random.PRNGKey(42), (N, cfg.in_channels), B, T)
+        ctx = jax.random.normal(jax.random.PRNGKey(2), (B, T, 5, 16))
+        mask = jnp.array([[1, 0, 0, 0]], dtype=jnp.int32)
+        framestep = jnp.arange(T, dtype=jnp.float32)[None]
+        ts, dist = get_schedule(3, shift=3.0)
+        args = (params, cfg, guidance, init, ctx, mask, framestep,
+                jnp.asarray(ts), jnp.asarray(dist))
+        joint = denoise_window(*args, is_additive=True, attn_impl="naive")
+        split = denoise_window(
+            *args, is_additive=True, attn_impl="naive", split_cfg_batch=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(split), np.asarray(joint), atol=1e-5
+        )
