@@ -93,20 +93,22 @@ def _block_spec(mesh: Mesh) -> dict:
     }
 
 
-def _prune_to(tree_spec, params):
-    """Keep only spec entries whose keys exist in params (dicts and lists)."""
+def _prune_to(tree_spec, params, mesh: Mesh):
+    """Keep only spec entries whose keys exist in params (dicts and lists).
+
+    Params without a spec entry replicate."""
     if isinstance(params, dict):
         out = {}
         for k, v in params.items():
             spec_v = tree_spec.get(k) if isinstance(tree_spec, dict) else None
             if spec_v is None:
                 out[k] = (
-                    _prune_to(None, v)
+                    _prune_to(None, v, mesh)
                     if isinstance(v, (dict, list))
-                    else NamedSharding(_CURRENT_MESH[0], P())
+                    else NamedSharding(mesh, P())
                 )
             else:
-                out[k] = _prune_to(spec_v, v)
+                out[k] = _prune_to(spec_v, v, mesh)
         return out
     if isinstance(params, list):
         spec_list = (
@@ -114,18 +116,14 @@ def _prune_to(tree_spec, params):
             if isinstance(tree_spec, list) and len(tree_spec) == len(params)
             else [tree_spec] * len(params)
         )
-        return [_prune_to(s, p) for s, p in zip(spec_list, params)]
+        return [_prune_to(s, p, mesh) for s, p in zip(spec_list, params)]
     if tree_spec is None:
-        return NamedSharding(_CURRENT_MESH[0], P())
+        return NamedSharding(mesh, P())
     return tree_spec
-
-
-_CURRENT_MESH = [None]
 
 
 def denoiser_param_shardings(params: dict, mesh: Mesh) -> dict:
     """NamedSharding pytree for the Stage I denoiser parameters."""
-    _CURRENT_MESH[0] = mesh
     rep = NamedSharding(mesh, P())
     rep_ln = {"scale": rep, "bias": rep}
     block = _block_spec(mesh)
@@ -145,12 +143,11 @@ def denoiser_param_shardings(params: dict, mesh: Mesh) -> dict:
         "norm_out": rep_ln,
         "proj_out": {"kernel": rep, "bias": rep},
     }
-    return _prune_to(spec, params)
+    return _prune_to(spec, params, mesh)
 
 
 def autoencoder_param_shardings(params: dict, mesh: Mesh) -> dict:
     """NamedSharding pytree for the Stage II autoencoder parameters."""
-    _CURRENT_MESH[0] = mesh
     rep = NamedSharding(mesh, P())
     rep_ln = {"scale": rep, "bias": rep}
     block = _block_spec(mesh)
@@ -161,7 +158,7 @@ def autoencoder_param_shardings(params: dict, mesh: Mesh) -> dict:
         "proj_out": {"kernel": rep, "bias": rep},
         "post_quant": {"kernel": rep, "bias": rep},
     }
-    return _prune_to(spec, params)
+    return _prune_to(spec, params, mesh)
 
 
 def shard_params(params: dict, shardings: dict) -> dict:
