@@ -312,5 +312,10 @@ class TripoSGPipeline:
                 dense_octree_depth=dense_octree_depth,
                 hierarchical_octree_depth=hierarchical_octree_depth,
             )
+            if len(f) == 0:
+                logger.warning(
+                    "SDF field has no zero crossing in bounds — returning an "
+                    "empty mesh (latent %d).", b,
+                )
             meshes.append(Mesh(vertices=v, faces=f))
         return meshes

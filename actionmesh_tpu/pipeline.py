@@ -372,6 +372,11 @@ class ActionMeshPipeline:
     ) -> list[Mesh]:
         """Decode one window of latents into deformed meshes."""
         _, n_targets = target_alphas.shape
+        if anchor_mesh.n_vertices == 0 or anchor_mesh.n_faces == 0:
+            raise ValueError(
+                "Anchor mesh is empty — Stage 0 produced no surface (check "
+                "the image-to-3D backend / SDF extraction level)."
+            )
         vertex_np = get_mesh_features(anchor_mesh, with_normals=True)
         n_verts = vertex_np.shape[0]
         # Bucket the vertex count so Stage II compiles once per bucket, not
