@@ -148,11 +148,22 @@ class ActionMeshPipeline:
     # ------------------------------------------------------------------
 
     def _load_actionmesh_weights(self) -> None:
+        from actionmesh_tpu.utils import download_if_missing
         from actionmesh_tpu.utils import weights as weights_util
 
         am_dir = (
             self._weights_dir / "ActionMesh" if self._weights_dir else None
         )
+        if self._weights_dir is not None:
+            # Reference behavior (pipeline.py:70-85): fetch the four
+            # checkpoint families if missing. No-ops gracefully offline.
+            for repo, sub in (
+                ("facebook/ActionMesh", "ActionMesh"),
+                ("VAST-AI/TripoSG", "TripoSG"),
+                ("facebook/dinov2-large", "dinov2"),
+                ("briaai/RMBG-1.4", "RMBG"),
+            ):
+                download_if_missing(repo, str(self._weights_dir / sub))
         if am_dir is not None and am_dir.exists():
             logger.info("Loading ActionMesh weights from %s", am_dir)
             self.denoiser_params = weights_util.load_denoiser(
