@@ -72,36 +72,46 @@ def rotation_6d_to_matrix(r6d: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([b1, b2, b3], axis=-2)
 
 
+def _nn_indices(x: jnp.ndarray, y: jnp.ndarray, chunk: int = 2048) -> jnp.ndarray:
+    """For each x point, the argmin-distance index into y. No gradient.
+
+    x (R, N, 3), y (R, M, 3) -> (R, N) int32. Chunked over x so the (N, M)
+    distance matrix is never resident (and never saved for backward).
+    """
+    x = jax.lax.stop_gradient(x)
+    y = jax.lax.stop_gradient(y)
+    y_sq = jnp.sum(y * y, axis=-1)  # (R, M)
+
+    def body(carry, x_chunk):
+        x_sq = jnp.sum(x_chunk * x_chunk, axis=-1)  # (R, C)
+        cross = jnp.einsum(
+            "rcd,rmd->rcm", x_chunk, y, preferred_element_type=jnp.float32
+        )
+        d = x_sq[..., None] - 2.0 * cross + y_sq[:, None, :]
+        return carry, jnp.argmin(d, axis=-1).astype(jnp.int32)  # (R, C)
+
+    R, N, _ = x.shape
+    pad = (-N) % chunk
+    xp = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    xc = jnp.moveaxis(xp.reshape(R, -1, chunk, 3), 1, 0)
+    _, idx = jax.lax.scan(body, None, xc)
+    return jnp.moveaxis(idx, 0, 1).reshape(R, -1)[:, :N]
+
+
 def _chamfer_mean_sq(
     a: jnp.ndarray, b: jnp.ndarray, chunk: int = 2048
 ) -> jnp.ndarray:
     """Per-batch symmetric mean squared chamfer (pytorch3d convention).
 
-    a, b: (R, N, 3). Chunked over a's points to avoid an (N, N) resident
-    matrix; |a - b|^2 expands to the matmul a.b (MXU) plus norms.
+    NN indices found under stop_gradient; the loss differentiates through
+    the gathered pairs — the same gradient autodiff of min() yields (the
+    argmin pair) at a fraction of the backward cost.
     """
 
     def one_direction(x, y):
-        # for each x point, min over y
-        y_sq = jnp.sum(y * y, axis=-1)  # (R, M)
-
-        def body(carry, x_chunk):
-            x_sq = jnp.sum(x_chunk * x_chunk, axis=-1)  # (R, C)
-            cross = jnp.einsum(
-                "rcd,rmd->rcm", x_chunk, y, preferred_element_type=jnp.float32
-            )
-            d = x_sq[..., None] - 2.0 * cross + y_sq[:, None, :]
-            return carry, jnp.min(d, axis=-1)  # (R, C)
-
-        R, N, _ = x.shape
-        pad = (-N) % chunk
-        xp = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
-        xc = jnp.moveaxis(
-            xp.reshape(R, -1, chunk, 3), 1, 0
-        )  # (n_chunks, R, chunk, 3)
-        _, mins = jax.lax.scan(body, None, xc)
-        mins = jnp.moveaxis(mins, 0, 1).reshape(R, -1)[:, :N]
-        return jnp.mean(jnp.maximum(mins, 0.0), axis=-1)
+        idx = _nn_indices(x, y, chunk=chunk)
+        nn = jnp.take_along_axis(y, idx[..., None], axis=1)
+        return jnp.mean(jnp.sum(jnp.square(x - nn), axis=-1), axis=-1)
 
     return one_direction(a, b) + one_direction(b, a)
 
@@ -140,15 +150,23 @@ class Transform:
         )
 
 
-@functools.partial(jax.jit, static_argnames=("n_iter", "lr"))
+@functools.partial(jax.jit, static_argnames=("n_iter", "lr", "nn_every"))
 def _icp_optimize(
     pc_pred: jnp.ndarray,
     pc_gt: jnp.ndarray,
     r_init: jnp.ndarray,
     lr: float = 0.01,
     n_iter: int = 200,
+    nn_every: int = 4,
 ):
-    """Batched Adam over (translation, 6D rotation, scale) per init."""
+    """Batched Adam over (translation, 6D rotation, scale) per init.
+
+    Classic ICP structure for TPU efficiency: nearest-neighbor
+    correspondences refresh every ``nn_every`` Adam steps (the O(N*M)
+    distance/argmin pass is VPU-bound and dominates; per-step refresh as in
+    the reference's pytorch3d chamfer is ~nn_every x slower for near-
+    identical convergence at lr=0.01).
+    """
     n_rots = r_init.shape[0]
     params = {
         "T": jnp.zeros((n_rots, 3)),
@@ -163,33 +181,54 @@ def _icp_optimize(
     pred_b = jnp.broadcast_to(pc_pred[None], (n_rots,) + pc_pred.shape)
     gt_b = jnp.broadcast_to(pc_gt[None], (n_rots,) + pc_gt.shape)
 
-    def loss_fn(p):
+    def move(p):
         R = jnp.einsum("kij,kjl->kil", r_init, rotation_6d_to_matrix(p["r6d"]))
-        moved = p["s"][:, None, :] * pred_b @ R + p["T"][:, None, :]
-        losses = _chamfer_mean_sq(moved, gt_b)  # (K,)
+        return p["s"][:, None, :] * pred_b @ R + p["T"][:, None, :], R
+
+    def loss_fn(p, idx_ab, idx_ba):
+        moved, R = move(p)
+        nn_ab = jnp.take_along_axis(gt_b, idx_ab[..., None], axis=1)
+        nn_ba = jnp.take_along_axis(moved, idx_ba[..., None], axis=1)
+        losses = jnp.mean(
+            jnp.sum(jnp.square(moved - nn_ab), -1), -1
+        ) + jnp.mean(jnp.sum(jnp.square(gt_b - nn_ba), -1), -1)
         return jnp.sum(losses), (losses, R)
 
-    def step(carry, _):
+    def round_fn(carry, _):
         params, opt_state, best_loss, best = carry
-        (_, (losses, R)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params
+        # refresh correspondences at the current transform (no gradient)
+        moved, _ = move(jax.tree.map(jax.lax.stop_gradient, params))
+        idx_ab = _nn_indices(moved, gt_b)
+        idx_ba = _nn_indices(gt_b, moved)
+
+        def adam_step(c, _):
+            params, opt_state, best_loss, best = c
+            (_, (losses, R)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, idx_ab, idx_ba)
+            updates, opt_state = opt.update(grads, opt_state)
+            new_params = optax.apply_updates(params, updates)
+            min_loss = jnp.min(losses)
+            k = jnp.argmin(losses)
+            improved = min_loss < best_loss
+            best = jax.tree.map(
+                lambda new, old: jnp.where(improved, new, old),
+                {"R": R[k], "T": params["T"][k], "s": params["s"][k]},
+                best,
+            )
+            best_loss = jnp.minimum(best_loss, min_loss)
+            return (new_params, opt_state, best_loss, best), None
+
+        carry, _ = jax.lax.scan(
+            adam_step, (params, opt_state, best_loss, best), None,
+            length=nn_every,
         )
-        updates, opt_state = opt.update(grads, opt_state)
-        new_params = optax.apply_updates(params, updates)
-        min_loss = jnp.min(losses)
-        idx = jnp.argmin(losses)
-        improved = min_loss < best_loss
-        best = jax.tree.map(
-            lambda new, old: jnp.where(improved, new, old),
-            {"R": R[idx], "T": params["T"][idx], "s": params["s"][idx]},
-            best,
-        )
-        best_loss = jnp.minimum(best_loss, min_loss)
-        return (new_params, opt_state, best_loss, best), None
+        return carry, None
 
     best0 = {"R": jnp.eye(3), "T": jnp.zeros(3), "s": jnp.ones(3)}
+    n_rounds = -(-n_iter // nn_every)
     (params, _, best_loss, best), _ = jax.lax.scan(
-        step, (params, opt_state, jnp.inf, best0), None, length=n_iter
+        round_fn, (params, opt_state, jnp.inf, best0), None, length=n_rounds
     )
     return best["R"], best["T"], best["s"], best_loss
 
