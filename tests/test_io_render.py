@@ -66,6 +66,67 @@ class TestAnimatedGLB:
         assert len(gltf["animations"]) == 1
 
 
+class TestRenderer:
+    @staticmethod
+    def _quad(center, u, v):
+        c, u, v = (np.asarray(a, float) for a in (center, u, v))
+        verts = np.array([c - u - v, c + u - v, c + u + v, c - u + v])
+        return verts, np.array([[0, 1, 2], [0, 2, 3]])
+
+    def test_zbuffer_resolves_intersecting_planes(self):
+        """Two planes crossing in an X: each side must show the nearer one.
+
+        Painter's algorithm (sorting whole faces by mean depth) gets this
+        wrong; a per-pixel z-buffer gets it right.
+        """
+        from actionmesh_tpu.render.cameras import get_uniform_cameras
+        from actionmesh_tpu.render.renderer import Renderer
+
+        cam = get_uniform_cameras(1)[0]
+        R, t = cam["R"], cam["t"]
+        cam_loc = -R.T @ t
+        fwd = -cam_loc / np.linalg.norm(cam_loc)
+        right, up = R[0], R[1]
+
+        va, fa = self._quad([0, 0, 0], right * 0.8 - fwd * 0.5, up * 0.8)
+        vb, fb = self._quad([0, 0, 0], right * 0.8 + fwd * 0.5, up * 0.8)
+        merged = Mesh(np.vstack([va, vb]), np.vstack([fa, fb + 4]))
+
+        r = Renderer(image_size=128, mode="normal")
+        img = r.render(merged, cam).astype(int)
+        ra = r.render(Mesh(va, fa), cam).astype(int)
+        rb = r.render(Mesh(vb, fb), cam).astype(int)
+
+        left = (slice(40, 88), slice(16, 48))
+        rgt = (slice(40, 88), slice(80, 112))
+        dl_a = np.abs(img[left] - ra[left]).mean()
+        dl_b = np.abs(img[left] - rb[left]).mean()
+        dr_a = np.abs(img[rgt] - ra[rgt]).mean()
+        dr_b = np.abs(img[rgt] - rb[rgt]).mean()
+        assert (dl_a < 2 and dr_b < 2) or (dl_b < 2 and dr_a < 2)
+
+    def test_normal_mode_white_background_and_smooth_interior(self):
+        from actionmesh_tpu.render.cameras import get_uniform_cameras
+        from actionmesh_tpu.render.renderer import Renderer
+
+        cam = get_uniform_cameras(1)[0]
+        sphere = make_uv_sphere(n_lat=24, n_lon=32)
+        img = Renderer(image_size=128, mode="normal").render(sphere, cam)
+        assert img.shape == (128, 128, 3)
+        assert (img[0, 0] == 255).all()
+        assert img[40:90, 40:90].std() > 8  # smooth normal gradient
+
+    def test_shaded_mode_runs(self):
+        from actionmesh_tpu.render.cameras import get_uniform_cameras
+        from actionmesh_tpu.render.renderer import Renderer
+
+        cam = get_uniform_cameras(1)[0]
+        sphere = make_uv_sphere(n_lat=12, n_lon=16)
+        img = Renderer(image_size=64, mode="shaded").render(sphere, cam)
+        assert img.shape == (64, 64, 3)
+        assert img.min() < 250  # something was drawn
+
+
 class TestVisualizer:
     def test_renders_grid_mp4(self, tmp_path):
         from actionmesh_tpu.render.visualizer import ActionMeshVisualizer
