@@ -151,7 +151,7 @@ def embed_queries(cfg: AutoencoderConfig, query: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "attn_impl", "compute_dtype")
+    jax.jit, static_argnames=("cfg", "attn_impl", "compute_dtype", "mesh")
 )
 def autoencoder_forward(
     params: Params,
@@ -163,6 +163,7 @@ def autoencoder_forward(
     query: jnp.ndarray,
     attn_impl: str = "auto",
     compute_dtype: jnp.dtype = jnp.float32,
+    mesh=None,
 ) -> jnp.ndarray:
     """Decode latents into per-vertex displacements for all target timesteps.
 
@@ -233,6 +234,7 @@ def autoencoder_forward(
             num_attention_heads=cfg.num_attention_heads,
             freqs_rot=(cos_b, sin_b),
             attn_impl=attn_impl,
+            mesh=mesh,
         )
 
     # -- Final cross-attention with vertex queries (float32 island)
@@ -249,6 +251,7 @@ def autoencoder_forward(
         num_attention_heads=cfg.num_attention_heads,
         encoder_hidden_states=kv_cache,
         attn_impl=attn_impl,
+        mesh=mesh,
     )
     logits = linear(params["proj_out"], layer_norm(params["norm_out"], logits))
     logits = logits * -1.0  # sign flip (temporal_autoencoder.py:160)

@@ -139,6 +139,7 @@ def denoiser_forward(
     mask: Optional[jnp.ndarray] = None,
     freqs_rot: Optional[tuple[jnp.ndarray, jnp.ndarray]] = None,
     attn_impl: str = "auto",
+    mesh=None,
 ) -> jnp.ndarray:
     """One denoising step (velocity prediction).
 
@@ -199,6 +200,7 @@ def denoiser_forward(
             skip=skip,
             inflate_n_frames=inflate,
             attn_impl=attn_impl,
+            mesh=mesh,
         )
         if layer < half:
             skips.append(x)

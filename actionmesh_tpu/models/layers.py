@@ -160,6 +160,7 @@ def attention(
     freqs_rot: Optional[tuple[jnp.ndarray, jnp.ndarray]] = None,
     kv_mask: Optional[jnp.ndarray] = None,
     attn_impl: str = "auto",
+    mesh=None,
 ) -> jnp.ndarray:
     """Multi-head (self or cross) attention on (B, S, D) activations.
 
@@ -194,7 +195,7 @@ def attention(
         q = apply_rotary_embedding(q, cos, sin)
         k = apply_rotary_embedding(k, cos, sin)
 
-    out = dot_product_attention(q, k, v, kv_mask=kv_mask, impl=attn_impl)
+    out = dot_product_attention(q, k, v, kv_mask=kv_mask, impl=attn_impl, mesh=mesh)
     out = out.transpose(0, 2, 1, 3).reshape(B, S, heads * dim_head)
     return linear(params["to_out"], out)
 
@@ -255,6 +256,7 @@ def flow_matching_block(
     skip: Optional[jnp.ndarray] = None,
     inflate_n_frames: Optional[int] = None,
     attn_impl: str = "auto",
+    mesh=None,
 ) -> jnp.ndarray:
     """Pre-norm transformer block with optional U-skip concat.
 
@@ -287,6 +289,7 @@ def flow_matching_block(
             heads=num_attention_heads,
             freqs_rot=freqs_rot,
             attn_impl=attn_impl,
+            mesh=mesh,
         )
         if inflate_n_frames is not None:
             att = flat_seq_to_flat_batch(att, inflate_n_frames)
@@ -299,6 +302,7 @@ def flow_matching_block(
             heads=num_attention_heads,
             encoder_hidden_states=encoder_hidden_states,
             attn_impl=attn_impl,
+            mesh=mesh,
         )
 
     hidden_states = hidden_states + feed_forward(

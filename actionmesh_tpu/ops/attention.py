@@ -136,8 +136,51 @@ def chunked_attention(
     return out.astype(orig_dtype)
 
 
+def _flash_sharded(q, k, v, scale, kv_mask, mesh):
+    """Run the Pallas flash kernel per-shard under shard_map.
+
+    GSPMD cannot partition a ``pallas_call``, so under a device mesh the
+    kernel is explicitly mapped: batch (the CFG branch axis) over ``dp`` and
+    attention heads over ``tp``. Head-sharded attention needs no collectives
+    — the softmax is per (batch, head, row) — and the surrounding Megatron
+    col->row projections keep their GSPMD-inserted reduces unchanged.
+
+    Axes that don't divide evenly stay replicated on that mesh axis (e.g.
+    Stage II's B=1 under dp=2 replicates the batch).
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+    from actionmesh_tpu.ops.flash_attention import flash_attention_pipelined
+
+    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    B, H = q.shape[0], q.shape[1]
+    b_ax = "dp" if axis_sizes.get("dp", 1) > 1 and B % axis_sizes["dp"] == 0 else None
+    h_ax = "tp" if axis_sizes.get("tp", 1) > 1 and H % axis_sizes["tp"] == 0 else None
+    qkv_spec = P(b_ax, h_ax, None, None)
+
+    if kv_mask is None:
+        fn = shard_map(
+            functools.partial(flash_attention_pipelined, scale=scale),
+            mesh=mesh,
+            in_specs=(qkv_spec, qkv_spec, qkv_spec),
+            out_specs=qkv_spec,
+            check_rep=False,
+        )
+        return fn(q, k, v)
+    fn = shard_map(
+        lambda q_, k_, v_, m_: flash_attention_pipelined(
+            q_, k_, v_, scale=scale, kv_mask=m_
+        ),
+        mesh=mesh,
+        in_specs=(qkv_spec, qkv_spec, qkv_spec, P(b_ax, None)),
+        out_specs=qkv_spec,
+        check_rep=False,
+    )
+    return fn(q, k, v, kv_mask)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("scale", "impl", "q_chunk", "k_chunk")
+    jax.jit, static_argnames=("scale", "impl", "q_chunk", "k_chunk", "mesh")
 )
 def dot_product_attention(
     q: jnp.ndarray,
@@ -148,17 +191,22 @@ def dot_product_attention(
     impl: str = "auto",
     q_chunk: int = 512,
     k_chunk: int = 1024,
+    mesh=None,
 ) -> jnp.ndarray:
     """Fused multi-head attention. q (B,H,Sq,D), k/v (B,H,Sk,D).
 
     impl: 'auto' picks the Pallas flash kernel on TPU, chunked XLA otherwise.
+    With a ``mesh``, the flash kernel runs per-shard via shard_map
+    (dp over batch, tp over heads); other impls partition under GSPMD.
     """
     if impl == "auto":
         impl = "flash" if jax.default_backend() == "tpu" else "chunked"
     if impl == "flash":
-        from actionmesh_tpu.ops.flash_attention import flash_attention
+        from actionmesh_tpu.ops.flash_attention import flash_attention_pipelined
 
-        return flash_attention(q, k, v, scale=scale, kv_mask=kv_mask)
+        if mesh is not None:
+            return _flash_sharded(q, k, v, scale, kv_mask, mesh)
+        return flash_attention_pipelined(q, k, v, scale=scale, kv_mask=kv_mask)
     if impl == "chunked":
         return chunked_attention(
             q, k, v, scale=scale, kv_mask=kv_mask, q_chunk=q_chunk, k_chunk=k_chunk

@@ -12,9 +12,15 @@ Grid iterates (B, H, q_block, k_block) with the KV axis innermost, so the
 fp32 accumulator / running max / running sum live in VMEM scratch across the
 KV sweep — the classic flash-attention recurrence on the MXU.
 
-Tuning (measured on v5e, seq 32784, D=128, bf16): 1024x1024 blocks reach
-~110 TFLOP/s (~56% MFU) vs ~69 at 512x512; masking only the final padded
-KV block ("edge" mode) avoids per-block VPU select work.
+Tuning (measured on v5e, seq 32784, D=128, bf16): the software-pipelined
+kernel (``flash_attention_pipelined``, U=3 sub-blocks of 512x1024 per grid
+step) reaches ~141 TFLOP/s (~72% MFU) — issuing sub-block i+1's QK^T dot
+before sub-block i's exp overlaps MXU with VPU transcendentals. The
+one-block kernel peaks at ~126 (1024x1024). Both need
+``vmem_limit_bytes`` raised past the 16 MiB scoped default (v5e has
+128 MiB VMEM). Edge-only masking of the final padded KV block avoids
+per-block VPU select work. exp2-instead-of-exp and fusing qk-norm/RoPE
+into the kernel were both measured slower (see flash_attention_fused).
 """
 
 from __future__ import annotations
@@ -92,6 +98,198 @@ def _pad_to(x: jnp.ndarray, axis: int, multiple: int, value=0.0) -> jnp.ndarray:
     pads = [(0, 0)] * x.ndim
     pads[axis] = (0, pad)
     return jnp.pad(x, pads, constant_values=value)
+
+
+# ---------------------------------------------------------------------------
+# Software-pipelined variant: U KV sub-blocks per kernel invocation
+# ---------------------------------------------------------------------------
+
+def _flash_kernel_pipelined(
+    q_ref, k_ref, v_ref, mask_ref, o_ref, acc_ref, m_ref, l_ref,
+    *, scale: float, mask_mode: str, unroll: int, block_k: int,
+):
+    """Online-softmax flash step over ``unroll`` KV sub-blocks.
+
+    The next sub-block's QK^T dot (MXU) is issued *before* the current
+    sub-block's exp/rescale (VPU) and PV dot, so Mosaic can overlap the MXU
+    matmul with the ~block_q*block_k transcendentals — the serial
+    s -> exp -> PV chain of the one-block kernel leaves the MXU idle during
+    the exp. State (acc/m/l) lives in VMEM scratch across the KV sweep.
+    """
+    k_idx = pl.program_id(3)
+    n_k = pl.num_programs(3)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0, 0]  # (bq, D)
+
+    def qk(u):
+        k_u = k_ref[0, 0, u * block_k : (u + 1) * block_k]
+        s = jax.lax.dot_general(
+            q, k_u,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if mask_mode == "full":
+            mvec = mask_ref[0, 0, u * block_k : (u + 1) * block_k]
+            s = jnp.where(mvec[None, :] != 0, s, NEG_INF)
+        elif mask_mode == "edge":
+            # only the globally-last sub-block contains padding
+            mvec = mask_ref[0, 0, u * block_k : (u + 1) * block_k]
+            s = jnp.where(
+                jnp.logical_or(
+                    k_idx * unroll + u < n_k * unroll - 1, mvec[None, :] != 0
+                ),
+                s,
+                NEG_INF,
+            )
+        return s
+
+    m_prev = m_ref[:, :1]
+    l_prev = l_ref[:, :1]
+    acc = acc_ref[:]
+
+    s_next = qk(0)
+    for u in range(unroll):
+        s_cur = s_next
+        if u + 1 < unroll:
+            # issue the next MXU dot ahead of this block's VPU work
+            s_next = qk(u + 1)
+        m_cur = jnp.maximum(m_prev, s_cur.max(axis=-1, keepdims=True))
+        p = jnp.exp(s_cur - m_cur)
+        alpha = jnp.exp(m_prev - m_cur)
+        l_prev = l_prev * alpha + p.sum(axis=-1, keepdims=True)
+        v_u = v_ref[0, 0, u * block_k : (u + 1) * block_k]
+        acc = acc * alpha + jax.lax.dot_general(
+            p.astype(v_u.dtype), v_u,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_prev = m_cur
+    acc_ref[:] = acc
+    m_ref[:, :1] = m_prev
+    l_ref[:, :1] = l_prev
+
+    @pl.when(k_idx == n_k - 1)
+    def _finalize():
+        l = jnp.maximum(l_ref[:, :1], 1e-30)
+        o_ref[0, 0] = (acc_ref[:] / l).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "block_q", "block_k", "unroll", "interpret"),
+)
+def flash_attention_pipelined(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+    kv_mask: Optional[jnp.ndarray] = None,
+    block_q: int = 512,
+    block_k: int = 1024,
+    unroll: int = 3,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Flash attention with ``unroll`` software-pipelined KV sub-blocks.
+
+    Identical math to ``flash_attention``; each grid step fetches
+    ``unroll * block_k`` KV rows and interleaves MXU dots with VPU softmax
+    work across sub-blocks.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, H, Sq, D = q.shape
+    Sk = k.shape[2]
+    if scale is None:
+        scale = D ** -0.5
+
+    def _round_up(x: int, m: int) -> int:
+        return -(-x // m) * m
+
+    block_q = min(block_q, _round_up(Sq, 128))
+    fetch_k = block_k * unroll
+    if _round_up(Sk, 128) < fetch_k:
+        # sequence too short to pipeline; use the one-block kernel
+        return flash_attention(
+            q, k, v, scale=scale, kv_mask=kv_mask,
+            block_q=block_q, block_k=block_k, interpret=interpret,
+        )
+
+    k_pad = (-Sk) % fetch_k
+    if kv_mask is None:
+        mask_mode = "edge" if k_pad else "none"
+        kv_mask = jnp.ones((B, Sk), dtype=jnp.int32)
+    else:
+        mask_mode = "full"
+        kv_mask = kv_mask.astype(jnp.int32)
+
+    qp = _pad_to(q, 2, block_q)
+    kp = _pad_to(k, 2, fetch_k)
+    vp = _pad_to(v, 2, fetch_k)
+    maskp = _pad_to(kv_mask, 1, fetch_k, value=0)[:, None, :]
+
+    n_q = qp.shape[2] // block_q
+    n_k = kp.shape[2] // fetch_k
+
+    grid = (B, H, n_q, n_k)
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel_pipelined,
+            scale=scale, mask_mode=mask_mode, unroll=unroll, block_k=block_k,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, block_q, D),
+                lambda b, h, qi, ki: (b, h, qi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, fetch_k, D),
+                lambda b, h, qi, ki: (b, h, ki, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, fetch_k, D),
+                lambda b, h, qi, ki: (b, h, ki, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, fetch_k),
+                lambda b, h, qi, ki: (b, 0, ki),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, D),
+            lambda b, h, qi, ki: (b, h, qi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(qp.shape, q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, D), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            # v5e has 128 MiB VMEM/core; the 16 MiB scoped default rejects
+            # double-buffered fp32 score blocks
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * Sq * Sk * D,
+            bytes_accessed=(q.size + k.size + v.size + q.size) * q.dtype.itemsize,
+            transcendentals=B * H * Sq * Sk,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, maskp)
+    return out[:, :, :Sq]
 
 
 # ---------------------------------------------------------------------------
@@ -270,13 +468,16 @@ def flash_attention_fused(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            # v5e has 128 MiB VMEM/core; the 16 MiB scoped default rejects
+            # double-buffered fp32 score blocks
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(qp, kp, vp, cosp, cosp, sinp, sinp, qs, ks, maskp)
     return out[:, :, :S]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "block_q", "block_k")
+    jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret")
 )
 def flash_attention(
     q: jnp.ndarray,
@@ -286,8 +487,16 @@ def flash_attention(
     kv_mask: Optional[jnp.ndarray] = None,
     block_q: int = 1024,
     block_k: int = 1024,
+    interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
-    """Fused flash attention. Returns (B, H, Sq, D) in q.dtype."""
+    """Fused flash attention. Returns (B, H, Sq, D) in q.dtype.
+
+    ``interpret=None`` auto-selects Pallas interpreter mode off-TPU (used by
+    the virtual-CPU-mesh tests and the driver's multichip dryrun, so the
+    sharded code path is identical on CPU and TPU).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     B, H, Sq, D = q.shape
     Sk = k.shape[2]
     if scale is None:
@@ -356,11 +565,15 @@ def flash_attention(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            # v5e has 128 MiB VMEM/core; the 16 MiB scoped default rejects
+            # double-buffered fp32 score blocks
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * Sq * Sk * D,
             bytes_accessed=(q.size + k.size + v.size + q.size) * q.dtype.itemsize,
             transcendentals=B * H * Sq * Sk,
         ),
+        interpret=interpret,
     )(qp, kp, vp, maskp)
     return out[:, :, :Sq]

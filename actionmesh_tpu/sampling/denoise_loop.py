@@ -147,6 +147,7 @@ def denoise_window(
                         mask=mask_f[sl] if mask_f is not None else None,
                         freqs_rot=branch_freqs,
                         attn_impl=attn_impl,
+                        mesh=mesh,
                     )
                 )
             pred = jnp.concatenate(preds, axis=0)
@@ -163,6 +164,7 @@ def denoise_window(
                 mask=mask_f,
                 freqs_rot=freqs_rot,
                 attn_impl=attn_impl,
+                mesh=mesh,
             )
         pred = guidance.aggregate_cfg(pred)
         if is_additive:

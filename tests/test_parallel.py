@@ -73,6 +73,73 @@ def test_sharded_denoise_matches_unsharded():
     )
 
 
+def test_tp_sharded_flash_matches_unsharded_and_chunked():
+    """The tp path must run the Pallas flash kernel (VERDICT r1 item 4).
+
+    On the virtual CPU mesh the kernel executes in Pallas interpreter mode
+    inside shard_map — same code path the real-TPU tp run takes, minus
+    Mosaic compilation. Checks flash(tp-sharded) == flash(unsharded) ==
+    chunked(unsharded).
+    """
+    from actionmesh_tpu.ops.attention import dot_product_attention
+
+    B, H, S, D = 2, 4, 160, 16  # S not a block multiple: edge masking path
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(3), 3)
+    q = jax.random.normal(kq, (B, H, S, D), jnp.float32)
+    k = jax.random.normal(kk, (B, H, S, D), jnp.float32)
+    v = jax.random.normal(kv, (B, H, S, D), jnp.float32)
+
+    ref = dot_product_attention(q, k, v, impl="chunked")
+    flash_unsharded = dot_product_attention(q, k, v, impl="flash")
+    mesh = make_mesh(8)  # dp=2 x tp=4; B=2 splits dp, H=4 splits tp
+    flash_tp = dot_product_attention(q, k, v, impl="flash", mesh=mesh)
+
+    np.testing.assert_allclose(
+        np.asarray(flash_unsharded), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(flash_tp), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_tp_sharded_flash_with_kv_mask():
+    from actionmesh_tpu.ops.attention import dot_product_attention
+
+    B, H, S, D = 2, 4, 96, 16
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(5), 3)
+    q = jax.random.normal(kq, (B, H, S, D), jnp.float32)
+    k = jax.random.normal(kk, (B, H, S, D), jnp.float32)
+    v = jax.random.normal(kv, (B, H, S, D), jnp.float32)
+    kv_mask = jnp.arange(S)[None, :] < jnp.array([[70], [50]])
+
+    ref = dot_product_attention(q, k, v, kv_mask=kv_mask, impl="chunked")
+    mesh = make_mesh(8)
+    out = dot_product_attention(q, k, v, kv_mask=kv_mask, impl="flash", mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_sharded_denoise_flash_matches_chunked():
+    """Full denoise window with attn_impl='flash' under the mesh."""
+    params = init_denoiser(jax.random.PRNGKey(0), CFG)
+    guidance, init_latent, context, mask, framestep, ts, dist = _make_inputs()
+
+    ref = denoise_window(
+        params, CFG, guidance, init_latent, context, mask, framestep,
+        jnp.asarray(ts), jnp.asarray(dist), attn_impl="chunked",
+    )
+    mesh = make_mesh(8)
+    sharded = shard_params(params, denoiser_param_shardings(params, mesh))
+    out = denoise_window(
+        sharded, CFG, guidance, init_latent, context, mask, framestep,
+        jnp.asarray(ts), jnp.asarray(dist), attn_impl="flash", mesh=mesh,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5
+    )
+
+
 def test_param_shardings_cover_tree():
     params = init_denoiser(jax.random.PRNGKey(0), CFG)
     mesh = make_mesh(8)
