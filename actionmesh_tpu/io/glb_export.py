@@ -83,94 +83,127 @@ def _parse_blender_args():
     sys.exit(1)
 
 
+def _wipe_scene(bpy):
+    """Remove every object from the default scene."""
+    for o in list(bpy.data.objects):
+        bpy.data.objects.remove(o, do_unlink=True)
+
+
+def _mesh_from_arrays(bpy, verts: np.ndarray, faces: np.ndarray):
+    """Build a mesh object from numpy arrays via from_pydata (vectorized).
+
+    ``validate()`` drops degenerate/duplicate faces, replacing the
+    try/except-per-face bmesh construction pattern.
+    """
+    mesh = bpy.data.meshes.new("actionmesh")
+    mesh.from_pydata(
+        verts.astype(np.float64).tolist(),
+        [],
+        faces.astype(np.int64).tolist(),
+    )
+    mesh.validate(verbose=False)
+    mesh.update()
+    obj = bpy.data.objects.new("actionmesh", mesh)
+    bpy.context.collection.objects.link(obj)
+    _attach_preview_material(bpy, obj)
+    return obj
+
+
+def _attach_preview_material(bpy, obj):
+    """Simple principled material so untextured previews aren't flat grey."""
+    mat = bpy.data.materials.new(name="actionmesh_preview")
+    mat.use_nodes = True
+    bsdf = mat.node_tree.nodes.get("Principled BSDF")
+    if bsdf is not None:
+        bsdf.inputs["Base Color"].default_value = (0.55, 0.65, 0.9, 1.0)
+        bsdf.inputs["Roughness"].default_value = 0.5
+    obj.data.materials.append(mat)
+
+
+def _first_mesh_object(bpy):
+    for o in bpy.context.scene.objects:
+        if o.type == "MESH":
+            return o
+    return None
+
+
+def _add_morph_animation(bpy, obj, vertices: np.ndarray, fps: int):
+    """One shape key per frame, cross-faded with triangular weight ramps.
+
+    Coordinates are written with ``foreach_set`` (flat float buffer) and the
+    weight curves are authored directly as LINEAR fcurves: key i is 1.0 at
+    frame i and 0.0 at frames i-1 / i+1, so consecutive frames blend
+    linearly — matching the pure-Python writer in io/animated_glb.py.
+    """
+    n_frames, n_verts = vertices.shape[:2]
+    obj.shape_key_add(name="rest")
+
+    keys = []
+    for i in range(n_frames):
+        sk = obj.shape_key_add(name=f"frame_{i:03d}", from_mix=False)
+        sk.data.foreach_set(
+            "co", np.ascontiguousarray(vertices[i], np.float32).ravel()
+        )
+        keys.append(sk)
+
+    shape_keys = obj.data.shape_keys
+    shape_keys.animation_data_create()
+    action = bpy.data.actions.new("morph_weights")
+    shape_keys.animation_data.action = action
+
+    for i, sk in enumerate(keys):
+        ramp = [(i, 1.0)]
+        if i > 0:
+            ramp.insert(0, (i - 1, 0.0))
+        if i < n_frames - 1:
+            ramp.append((i + 1, 0.0))
+        fc = action.fcurves.new(f'key_blocks["{sk.name}"].value')
+        fc.keyframe_points.add(len(ramp))
+        for kp, (frame, value) in zip(fc.keyframe_points, ramp):
+            kp.co = (float(frame), value)
+            kp.interpolation = "LINEAR"
+        fc.update()
+
+    scene = bpy.context.scene
+    scene.frame_start = 0
+    scene.frame_end = n_frames - 1
+    scene.render.fps = fps
+
+
 def main():
-    import bmesh  # noqa: F401  (available only inside Blender)
+    """Blender-side entry: assemble the animated mesh and export GLB."""
     import bpy
-    from mathutils import Vector
 
     args = _parse_blender_args()
     vertices = np.load(args.vertices_npy)  # (T, V, 3)
-    num_frames, num_vertices, _ = vertices.shape
+    has_textures = args.input_glb is not None
 
-    bpy.ops.object.select_all(action="SELECT")
-    bpy.ops.object.delete()
-
-    if args.input_glb is not None:
+    _wipe_scene(bpy)
+    if has_textures:
+        # Import the user's GLB so UVs/materials survive; deformations
+        # apply as shape keys on top of its (merged-order) vertices.
         bpy.ops.import_scene.gltf(filepath=args.input_glb)
-        obj = next(
-            (o for o in bpy.context.scene.objects if o.type == "MESH"), None
-        )
+        obj = _first_mesh_object(bpy)
         if obj is None:
-            print("Error: No mesh found in input GLB", file=sys.stderr)
-            sys.exit(1)
-        if len(obj.data.vertices) != num_vertices:
-            print(
-                f"Error: Vertex count mismatch: mesh {len(obj.data.vertices)} "
-                f"vs deformations {num_vertices}",
-                file=sys.stderr,
+            sys.exit("input GLB contains no mesh")
+        if len(obj.data.vertices) != vertices.shape[1]:
+            sys.exit(
+                f"vertex count mismatch: GLB has {len(obj.data.vertices)}, "
+                f"deformation arrays have {vertices.shape[1]}"
             )
-            sys.exit(1)
     else:
-        import bmesh
-
-        faces = np.load(args.faces_npy)
-        mesh = bpy.data.meshes.new("AnimatedMesh")
-        obj = bpy.data.objects.new("AnimatedMesh", mesh)
-        bpy.context.collection.objects.link(obj)
-
-        bm = bmesh.new()
-        for v in vertices[0]:
-            bm.verts.new((v[0], v[1], v[2]))
-        bm.verts.ensure_lookup_table()
-        for face in faces:
-            try:
-                bm.faces.new([bm.verts[int(i)] for i in face])
-            except ValueError:
-                pass  # degenerate/duplicate face
-        bm.to_mesh(mesh)
-        bm.free()
-        mesh.update()
-
-        mat = bpy.data.materials.new(name="DefaultMaterial")
-        mat.use_nodes = True
-        nodes = mat.node_tree.nodes
-        links = mat.node_tree.links
-        nodes.clear()
-        bsdf = nodes.new(type="ShaderNodeBsdfPrincipled")
-        bsdf.inputs["Base Color"].default_value = (0.2, 0.4, 0.8, 1.0)
-        bsdf.inputs["Metallic"].default_value = 0.1
-        bsdf.inputs["Roughness"].default_value = 0.4
-        out_node = nodes.new(type="ShaderNodeOutputMaterial")
-        links.new(bsdf.outputs["BSDF"], out_node.inputs["Surface"])
-        obj.data.materials.append(mat)
+        obj = _mesh_from_arrays(bpy, vertices[0], np.load(args.faces_npy))
 
     bpy.context.view_layer.objects.active = obj
     obj.select_set(True)
-    obj.shape_key_add(name="Basis")
+    _add_morph_animation(bpy, obj, vertices, args.fps)
 
-    # Per-frame shape keys with triangular weight ramps
-    for frame_idx in range(num_frames):
-        shape_key = obj.shape_key_add(name=f"Frame_{frame_idx}")
-        frame_verts = vertices[frame_idx]
-        for vert_idx in range(num_vertices):
-            shape_key.data[vert_idx].co = Vector(frame_verts[vert_idx])
-        shape_key.value = 1.0
-        shape_key.keyframe_insert(data_path="value", frame=frame_idx)
-        if frame_idx > 0:
-            shape_key.value = 0.0
-            shape_key.keyframe_insert(data_path="value", frame=frame_idx - 1)
-        if frame_idx < num_frames - 1:
-            shape_key.value = 0.0
-            shape_key.keyframe_insert(data_path="value", frame=frame_idx + 1)
-
-    bpy.context.scene.frame_start = 0
-    bpy.context.scene.frame_end = num_frames - 1
-    bpy.context.scene.render.fps = args.fps
-
+    # Export settings are the output contract (Draco level 6, 14-bit
+    # positions — the reference repo's published GLB format).
     bpy.ops.export_scene.gltf(
         filepath=args.output_glb,
         export_format="GLB",
-        export_texcoords=args.input_glb is not None,
+        export_texcoords=has_textures,
         export_materials="EXPORT",
         export_optimize_animation_size=True,
         export_normals=args.export_normals,
