@@ -91,6 +91,58 @@ def test_video_to_4d_ar_windows(tiny_pipeline):
     assert len(meshes) == 18
 
 
+def test_video_to_4d_31_frames_window_boundary_continuity(
+    tiny_pipeline, monkeypatch
+):
+    """31 frames = two full AR windows [0..15] + [15..30] (slide 15).
+
+    The overlap frame (timestep 15) is banked by window 1 and fed to
+    window 2 as mask=1 conditioning; the flow must keep it frozen
+    (reference scheduler.py:244-248), so the latent re-banked by window 2
+    is BITWISE identical to window 1's.
+    """
+    from actionmesh_tpu.utils import banks as banks_mod
+
+    records = []
+    orig_update = banks_mod.LatentBank.update
+
+    def spy(self, timesteps, latents, replace=False):
+        records.append(
+            (
+                np.asarray(timesteps).reshape(-1).copy(),
+                np.asarray(latents, dtype=np.float32)
+                .reshape((-1,) + self.empty_dims)
+                .copy(),
+            )
+        )
+        return orig_update(self, timesteps, latents, replace=replace)
+
+    monkeypatch.setattr(banks_mod.LatentBank, "update", spy)
+
+    frames = make_frames(31)
+    input = ActionMeshInput(
+        frames=frames, timesteps=np.arange(31, dtype=np.float32)
+    )
+    meshes = tiny_pipeline(input, seed=3)
+    assert len(meshes) == 31
+
+    # records: [anchor(t=0), window1 (16 ts), window2 (16 ts)]
+    window_records = [r for r in records if len(r[0]) > 1]
+    assert len(window_records) == 2
+    ts1, lat1 = window_records[0]
+    ts2, lat2 = window_records[1]
+    shared = sorted(set(ts1.tolist()) & set(ts2.tolist()))
+    assert shared == [15.0]
+    a = lat1[np.where(ts1 == 15.0)[0][0]]
+    b = lat2[np.where(ts2 == 15.0)[0][0]]
+    np.testing.assert_array_equal(a, b)
+    # window 1 must also have kept the anchor frame's latent frozen
+    anchor_rec = [r for r in records if len(r[0]) == 1][0]
+    a0 = anchor_rec[1][0]
+    b0 = lat1[np.where(ts1 == 0.0)[0][0]]
+    np.testing.assert_array_equal(a0, b0)
+
+
 def test_save_load_native_checkpoint(tiny_pipeline, tmp_path):
     import jax
     import jax.numpy as jnp
