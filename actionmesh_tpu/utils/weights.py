@@ -247,6 +247,48 @@ def load_params(path: str | Path) -> dict:
 # the mapping can be corrected against the real checkpoint)
 # ---------------------------------------------------------------------------
 
+def describe_state_dict(state: dict, max_lines: int = 60) -> str:
+    """Human-readable architecture summary of a checkpoint state dict.
+
+    Groups keys into families (``blocks.N.foo.weight`` -> ``blocks.*.foo``),
+    reports each family's count and shape, and infers layer count / model
+    width / qkv fusion where recognizable. Used by the TripoSG converters'
+    error paths so a real-checkpoint mismatch yields an actionable report
+    rather than a bare KeyError (the upstream source is not vendored; the
+    converter mapping is a documented best-effort guess).
+    """
+    import re
+
+    families: dict[str, tuple[int, tuple]] = {}
+    layer_ids: set[int] = set()
+    for k, v in state.items():
+        fam = re.sub(r"\.\d+\.", ".*.", k)
+        shape = tuple(np.asarray(v).shape)
+        cnt, _ = families.get(fam, (0, shape))
+        families[fam] = (cnt + 1, shape)
+        for m in re.finditer(r"\.(\d+)\.", k):
+            layer_ids.add(int(m.group(1)))
+
+    lines = [f"{len(state)} tensors, {len(families)} key families"]
+    if layer_ids:
+        lines.append(
+            f"numeric indices 0..{max(layer_ids)} "
+            f"(=> likely {max(layer_ids) + 1} layers)"
+        )
+    widths = [
+        s[-1] for _, (_, s) in families.items() if len(s) == 2 and s[0] == s[-1]
+    ]
+    if widths:
+        from collections import Counter
+
+        lines.append(f"square linear widths: {Counter(widths).most_common(3)}")
+    for fam in sorted(families)[:max_lines]:
+        cnt, shape = families[fam]
+        lines.append(f"  {fam}  x{cnt}  {shape}")
+    if len(families) > max_lines:
+        lines.append(f"  ... {len(families) - max_lines} more families")
+    return "\n".join(lines)
+
 def convert_triposg_dit(state: dict, cfg, dtype=jnp.bfloat16) -> dict:
     """Convert the TripoSG shape transformer.
 
@@ -271,8 +313,10 @@ def convert_triposg_dit(state: dict, cfg, dtype=jnp.bfloat16) -> dict:
         }
     except KeyError as e:
         raise KeyError(
-            f"TripoSG transformer key mapping mismatch: {e}. Available "
-            f"key prefixes: {sorted({k.split('.')[0] for k in state})}"
+            f"TripoSG transformer key mapping mismatch: {e}.\n"
+            "The mapping assumes the ActionMesh denoiser layout (the Stage-I "
+            "model is an inflation of this DiT). Checkpoint structure:\n"
+            + describe_state_dict(state)
         ) from e
 
 
@@ -319,6 +363,7 @@ def convert_triposg_vae(state: dict, cfg, dtype=jnp.bfloat16) -> dict:
         }
     except KeyError as e:
         raise KeyError(
-            f"TripoSG VAE key mapping mismatch: {e}. Available key "
-            f"prefixes: {sorted({k.split('.')[0] for k in state})}"
+            f"TripoSG VAE key mapping mismatch: {e}.\n"
+            "Fix the prefix table in convert_triposg_vae against this "
+            "checkpoint structure:\n" + describe_state_dict(state)
         ) from e
