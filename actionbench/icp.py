@@ -150,13 +150,28 @@ class Transform:
         )
 
 
-@functools.partial(jax.jit, static_argnames=("n_iter", "lr", "nn_every"))
+def _make_icp_carry(n_rots: int, lr: float):
+    """Initial (params, opt_state, best_loss, best) optimization carry."""
+    params = {
+        "T": jnp.zeros((n_rots, 3)),
+        "r6d": jnp.tile(
+            jnp.array([[1.0, 0.0, 0.0, 0.0, 1.0, 0.0]]), (n_rots, 1)
+        ),
+        "s": jnp.ones((n_rots, 3)),
+    }
+    opt = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+    best0 = {"R": jnp.eye(3), "T": jnp.zeros(3), "s": jnp.ones(3)}
+    return params, opt.init(params), jnp.asarray(jnp.inf), best0
+
+
+@functools.partial(jax.jit, static_argnames=("n_rounds", "lr", "nn_every"))
 def _icp_optimize(
     pc_pred: jnp.ndarray,
     pc_gt: jnp.ndarray,
     r_init: jnp.ndarray,
+    carry,
     lr: float = 0.01,
-    n_iter: int = 200,
+    n_rounds: int = 25,
     nn_every: int = 4,
 ):
     """Batched Adam over (translation, 6D rotation, scale) per init.
@@ -166,17 +181,13 @@ def _icp_optimize(
     distance/argmin pass is VPU-bound and dominates; per-step refresh as in
     the reference's pytorch3d chamfer is ~nn_every x slower for near-
     identical convergence at lr=0.01).
+
+    Runs ``n_rounds`` refresh rounds and returns the updated carry, so the
+    host can chain segments — one long program (>~150 rounds) exceeds the
+    axon TPU worker's single-launch budget and kills the worker.
     """
     n_rots = r_init.shape[0]
-    params = {
-        "T": jnp.zeros((n_rots, 3)),
-        "r6d": jnp.tile(
-            jnp.array([[1.0, 0.0, 0.0, 0.0, 1.0, 0.0]]), (n_rots, 1)
-        ),
-        "s": jnp.ones((n_rots, 3)),
-    }
     opt = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
-    opt_state = opt.init(params)
 
     pred_b = jnp.broadcast_to(pc_pred[None], (n_rots,) + pc_pred.shape)
     gt_b = jnp.broadcast_to(pc_gt[None], (n_rots,) + pc_gt.shape)
@@ -225,12 +236,7 @@ def _icp_optimize(
         )
         return carry, None
 
-    best0 = {"R": jnp.eye(3), "T": jnp.zeros(3), "s": jnp.ones(3)}
-    n_rounds = -(-n_iter // nn_every)
-    (params, _, best_loss, best), _ = jax.lax.scan(
-        round_fn, (params, opt_state, jnp.inf, best0), None, length=n_rounds
-    )
-    return best["R"], best["T"], best["s"], best_loss
+    return jax.lax.scan(round_fn, carry, None, length=n_rounds)[0]
 
 
 def gradient_icp(
@@ -238,18 +244,30 @@ def gradient_icp(
     pc_gt: np.ndarray,
     lr: float = 0.01,
     n_iter: int = 200,
+    nn_every: int = 4,
+    rounds_per_launch: int = 25,
 ) -> Transform:
-    """Best rigid+scale alignment of pc_pred onto pc_gt over 24 rotation inits."""
+    """Best rigid+scale alignment of pc_pred onto pc_gt over 24 rotation inits.
+
+    The Adam loop runs in segments of ``rounds_per_launch`` refresh rounds
+    (chained carries, mathematically one loop) to bound per-launch device
+    time — see _icp_optimize.
+    """
     r_init = jnp.asarray(canonical_rotation_matrices(), jnp.float32)
-    R, T, s, _ = _icp_optimize(
-        jnp.asarray(pc_pred, jnp.float32),
-        jnp.asarray(pc_gt, jnp.float32),
-        r_init,
-        lr=lr,
-        n_iter=n_iter,
-    )
+    pred = jnp.asarray(pc_pred, jnp.float32)
+    gt = jnp.asarray(pc_gt, jnp.float32)
+    carry = _make_icp_carry(r_init.shape[0], lr)
+    rounds_total = -(-n_iter // nn_every)
+    done = 0
+    while done < rounds_total:
+        seg = min(rounds_per_launch, rounds_total - done)
+        carry = _icp_optimize(
+            pred, gt, r_init, carry, lr=lr, n_rounds=seg, nn_every=nn_every
+        )
+        done += seg
+    best = carry[3]
     return Transform(
-        R=np.asarray(R, np.float64)[None],
-        T=np.asarray(T, np.float64)[None],
-        s=np.asarray(s, np.float64)[None],
+        R=np.asarray(best["R"], np.float64)[None],
+        T=np.asarray(best["T"], np.float64)[None],
+        s=np.asarray(best["s"], np.float64)[None],
     )

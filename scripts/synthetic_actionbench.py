@@ -46,17 +46,30 @@ def _rot(axis: np.ndarray, angle: float) -> np.ndarray:
 
 
 def animated_mesh_sequence(uid_seed: int, n_frames: int) -> list[Mesh]:
-    """Deforming sphere: radial harmonic pulse + bend + slow rigid motion."""
+    """Deforming blob: asymmetric harmonic bumps + bend + slow rigid motion.
+
+    Deliberately ASYMMETRIC (mixed 2/3/5-fold harmonics on distinct axes,
+    anisotropic base) so ICP has a unique global alignment — a symmetric
+    fixture lets frame-0 ICP pick a symmetry-equivalent rotation that is
+    correct for frame 0 but wrong for later bent frames, inflating CD-4D
+    for reasons that are a property of the shape, not the metric.
+    """
     rng = np.random.default_rng(uid_seed)
     base = make_uv_sphere(n_lat=48, n_lon=64)
-    v0 = base.vertices * (0.55 + 0.1 * rng.random())
+    v0 = base.vertices * (np.array([0.7, 0.5, 0.6]) + 0.1 * rng.random(3))
     phase = rng.random(3) * 2 * np.pi
     axis = rng.normal(size=3)
     meshes = []
     for t in range(n_frames):
         a = t / max(n_frames - 1, 1)
-        # non-rigid: radial pulse varying over the surface and time
-        bump = 0.12 * np.sin(4 * np.arctan2(v0[:, 1], v0[:, 0]) + phase[0] + 2 * np.pi * a)
+        # non-rigid: mixed-order harmonics, no rotational symmetry
+        th = np.arctan2(v0[:, 1], v0[:, 0])
+        ph = np.arctan2(v0[:, 2], np.linalg.norm(v0[:, :2], axis=1))
+        bump = (
+            0.10 * np.sin(3 * th + phase[0] + 2 * np.pi * a)
+            + 0.06 * np.sin(2 * ph + phase[1] + 4 * np.pi * a)
+            + 0.04 * np.sin(5 * th + 3 * ph + phase[2])
+        )
         verts = v0 * (1 + bump[:, None])
         # bend: x-dependent rotation about z
         ang = 0.5 * a * verts[:, 0]
@@ -100,10 +113,16 @@ PERTURBATIONS = {
 
 
 def _perturb_rigid(meshes, rng):
+    """Rotate, THEN scale, then translate — the inverse lives inside the
+    ICP's alignment family ``s * p @ R + T`` (scale-first; identical to the
+    reference's Transform3d Scale∘Rotate∘Translate). A scale-before-rotation
+    perturbation is NOT exactly invertible in that family and leaves an
+    irreducible ~0.03 chamfer residual (measured) — a fixture property, not
+    an ICP defect."""
     R = _rot(rng.normal(size=3), 0.6)
     scale = np.array([1.15, 0.9, 1.05])
     t = np.array([0.3, -0.2, 0.15])
-    return [Mesh(m.vertices * scale @ R.T + t, m.faces.copy()) for m in meshes]
+    return [Mesh((m.vertices @ R) * scale + t, m.faces.copy()) for m in meshes]
 
 
 def _perturb_noise(meshes, rng, sigma):
