@@ -4,6 +4,24 @@ import os
 
 import jax
 
+# Keep large host allocations resident in the arena. On this class of
+# sandboxed kernel, first-touch page faults cost ~100x steady-state memory
+# access (measured: 4.2s to first-write a 200MB array vs 0.04s to rewrite
+# it), and glibc's default behavior mmap/munmaps every >128KB allocation —
+# so every large numpy temporary re-pays the fault tax. Raising the mmap
+# and trim thresholds routes big allocations through the retained heap:
+# pages fault once per high-water mark and are reused forever after
+# (measured 13.5s -> 0.13s for a repeated 257^3 meshgrid+stack). Costs
+# peak-RSS retention; the host has 125 GB.
+try:
+    import ctypes as _ctypes
+
+    _libc = _ctypes.CDLL("libc.so.6", use_errno=True)
+    _libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD
+    _libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD
+except Exception:  # non-glibc platform: default allocator behavior
+    pass
+
 # Persistent compilation cache: full-size Stage I/II programs take minutes
 # to compile; caching makes every later process launch near-instant.
 if not getattr(jax.config, "jax_compilation_cache_dir", None):

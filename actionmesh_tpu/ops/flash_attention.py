@@ -125,7 +125,9 @@ def _flash_kernel_pipelined(
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    q = q_ref[0, 0]  # (bq, D)
+    # Fold the softmax scale into q once (bq x D) instead of scaling every
+    # (bq x block_k) score block on the VPU.
+    q = (q_ref[0, 0].astype(jnp.float32) * scale).astype(q_ref.dtype)
 
     def qk(u):
         k_u = k_ref[0, 0, u * block_k : (u + 1) * block_k]
@@ -133,7 +135,7 @@ def _flash_kernel_pipelined(
             q, k_u,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale
+        )
         if mask_mode == "full":
             mvec = mask_ref[0, 0, u * block_k : (u + 1) * block_k]
             s = jnp.where(mvec[None, :] != 0, s, NEG_INF)

@@ -47,6 +47,33 @@ def _load() -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
     ]
+    lib.marching_tetrahedra_cells.restype = ctypes.c_int64
+    lib.marching_tetrahedra_cells.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.marching_tetrahedra_grid.restype = ctypes.c_int64
+    lib.marching_tetrahedra_grid.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_double, ctypes.c_int64,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.am_free.restype = None
+    lib.am_free.argtypes = [ctypes.c_void_p]
+    lib.grid_cluster_simplify.restype = ctypes.c_int64
+    lib.grid_cluster_simplify.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
     _lib = lib
     return lib
 
@@ -82,3 +109,111 @@ def fps_cpu(points: np.ndarray, k: int, start: int = 0) -> np.ndarray:
         int(start), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     return out
+
+
+def marching_tetrahedra_cells(
+    corner_points: np.ndarray,
+    corner_values: np.ndarray,
+    corner_ids: np.ndarray,
+    level: float = 0.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Native marching tetrahedra over pre-filtered crossing cells.
+
+    Same contract as ops.isosurface.marching_tetrahedra; ~25x faster on
+    multi-million-cell fine grids. corner_ids must be < 2^31 (the weld key
+    packs two ids into a uint64).
+    """
+    lib = _load()
+    C = len(corner_points)
+    cp = np.ascontiguousarray(corner_points, np.float64)
+    cv = np.ascontiguousarray(corner_values, np.float32)
+    cid = np.ascontiguousarray(corner_ids, np.int64)
+    assert cid.max(initial=0) < 2**31, "corner ids exceed weld-key range"
+    faces_cap = 12 * C + 16
+    verts_cap = 8 * C + 16
+    out_v = np.empty((verts_cap, 3), np.float64)
+    out_f = np.empty((faces_cap, 3), np.int64)
+    out_nv = ctypes.c_int64(0)
+    nf = lib.marching_tetrahedra_cells(
+        cp.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        cv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        cid.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        C, float(level),
+        out_v.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), verts_cap,
+        out_f.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), faces_cap,
+        ctypes.byref(out_nv),
+    )
+    if nf < 0:
+        raise RuntimeError("marching_tetrahedra_cells: capacity exceeded")
+    return (
+        out_v[: out_nv.value].astype(np.float32),
+        out_f[:nf].copy(),
+    )
+
+
+def marching_tetrahedra_grid(
+    fine_vals: np.ndarray,
+    cell_ijk: np.ndarray,
+    lo: np.ndarray,
+    cell_size: np.ndarray,
+    fine_R: int,
+    level: float = 0.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Native triangulation of hierarchical fine lattices.
+
+    fine_vals (C, s+1, s+1, s+1) float32; cell_ijk (C, 3) coarse cell
+    coords. Positions and global weld ids derive internally; outputs are
+    exact-size C-side allocations (oversized capacity buffers dominate
+    wall time on this deployment — first-touch page faults cost ~100x
+    steady-state memory access).
+    """
+    lib = _load()
+    C = len(fine_vals)
+    s = fine_vals.shape[1] - 1
+    assert fine_R ** 3 < 2 ** 31, "weld ids exceed the uint64 key range"
+    fv = np.ascontiguousarray(fine_vals, np.float32)
+    cij = np.ascontiguousarray(cell_ijk, np.int64)
+    lo = np.ascontiguousarray(lo, np.float64)
+    cs = np.ascontiguousarray(cell_size, np.float64)
+    verts_ptr = ctypes.POINTER(ctypes.c_float)()
+    faces_ptr = ctypes.POINTER(ctypes.c_int32)()
+    out_nv = ctypes.c_int64(0)
+    nf = lib.marching_tetrahedra_grid(
+        fv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        cij.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        C, s,
+        lo.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        cs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        float(level), int(fine_R),
+        ctypes.byref(verts_ptr), ctypes.byref(faces_ptr),
+        ctypes.byref(out_nv),
+    )
+    if nf == 0 or not verts_ptr:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64)
+    try:
+        v = np.ctypeslib.as_array(verts_ptr, shape=(out_nv.value, 3)).copy()
+        f = np.ctypeslib.as_array(faces_ptr, shape=(nf, 3)).astype(np.int64)
+    finally:
+        lib.am_free(verts_ptr)
+        lib.am_free(faces_ptr)
+    return v, f
+
+
+def grid_cluster_simplify(
+    vertices: np.ndarray, faces: np.ndarray, res: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Uniform-grid vertex clustering to a res^3 lattice (pre-simplifier)."""
+    lib = _load()
+    v = np.ascontiguousarray(vertices, np.float64)
+    f = np.ascontiguousarray(faces, np.int64)
+    out_v = np.empty_like(v)
+    out_f = np.empty_like(f)
+    out_nv = ctypes.c_int64(0)
+    nf = lib.grid_cluster_simplify(
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(v),
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(f), int(res),
+        out_v.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        out_f.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.byref(out_nv),
+    )
+    return out_v[: out_nv.value].copy(), out_f[:nf].copy()

@@ -10,7 +10,14 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
+#include <ctime>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 #include <queue>
 #include <random>
 #include <unordered_map>
@@ -66,10 +73,12 @@ struct Quadric {
 };
 
 struct Collapse {
-  double cost;
-  int64_t u, v;        // collapse u -> v
-  uint64_t stamp_u, stamp_v;  // version stamps for lazy invalidation
-  double pos[3];
+  // compact: 40 bytes/entry — multi-million-entry heaps are page-fault
+  // bound on this deployment, so size matters more than field precision
+  float cost;
+  int32_t u, v;        // collapse u -> v
+  uint32_t stamp_u, stamp_v;  // version stamps for lazy invalidation
+  float pos[3];
   bool operator<(const Collapse& o) const { return cost > o.cost; }  // min-heap
 };
 
@@ -83,7 +92,414 @@ int64_t find_root(std::vector<int64_t>& parent, int64_t i) {
 
 }  // namespace
 
+// ---------------------------------------------------------------------------
+// Marching tetrahedra over pre-filtered cells (host triangulation hot path)
+// ---------------------------------------------------------------------------
+//
+// Same semantics as the vectorized numpy implementation in
+// ops/isosurface.py (the tested reference for this code): each cube cell
+// splits into 6 tetrahedra around the 0-7 diagonal; crossing edges
+// interpolate at t=(level-va)/(vb-va) clipped to [0,1]; vertices weld
+// exactly by the sorted global-corner-id pair of their grid edge;
+// degenerate faces drop.
+
+constexpr int kTets[6][4] = {
+    {0, 1, 3, 7}, {0, 3, 2, 7}, {0, 2, 6, 7},
+    {0, 6, 4, 7}, {0, 4, 5, 7}, {0, 5, 1, 7},
+};
+
+struct TetTriangle {
+  int a[3];  // local tet vertex index, edge start
+  int b[3];  // edge end
+};
+
+struct TetCaseTable {
+  std::vector<TetTriangle> tris[16];
+  TetCaseTable() {
+    auto others = [](int i, int* o) {
+      int n = 0;
+      for (int j = 0; j < 4; ++j)
+        if (j != i) o[n++] = j;
+    };
+    for (int i = 0; i < 4; ++i) {
+      int o[3];
+      others(i, o);
+      // one inside
+      tris[1 << i].push_back({{i, i, i}, {o[0], o[1], o[2]}});
+      // three inside (reversed winding)
+      tris[15 ^ (1 << i)].push_back({{i, i, i}, {o[0], o[2], o[1]}});
+    }
+    for (int a = 0; a < 4; ++a)
+      for (int b = a + 1; b < 4; ++b) {
+        int cd[2], n = 0;
+        for (int j = 0; j < 4; ++j)
+          if (j != a && j != b) cd[n++] = j;
+        int c = cd[0], d = cd[1];
+        int cs = (1 << a) | (1 << b);
+        tris[cs].push_back({{a, a, b}, {c, d, d}});
+        tris[cs].push_back({{a, b, b}, {c, d, c}});
+      }
+  }
+};
+
+const TetCaseTable& tet_table() {
+  static TetCaseTable t;
+  return t;
+}
+
 extern "C" {
+
+// Triangulate pre-filtered (surface-crossing) cube cells by marching
+// tetrahedra with exact welded vertices. Inputs: corner_pts (C, 8, 3)
+// float64, corner_vals (C, 8) float32, corner_ids (C, 8) int64 (globally
+// unique per grid corner, < 2^31). Outputs: out_verts (capacity
+// verts_cap*3 doubles), out_faces (capacity faces_cap*3 int64).
+// Returns the face count, or -1 if a capacity would be exceeded.
+int64_t marching_tetrahedra_cells(
+    const double* corner_pts, const float* corner_vals,
+    const int64_t* corner_ids, int64_t n_cells, double level,
+    double* out_verts, int64_t verts_cap, int64_t* out_faces,
+    int64_t faces_cap, int64_t* out_n_verts) {
+  const TetCaseTable& table = tet_table();
+  std::unordered_map<uint64_t, int64_t> edge_vertex;
+  edge_vertex.reserve(static_cast<size_t>(n_cells) * 4 + 16);
+  int64_t nv = 0, nf = 0;
+
+  for (int64_t cell = 0; cell < n_cells; ++cell) {
+    const double* cp = corner_pts + cell * 24;
+    const float* cv = corner_vals + cell * 8;
+    const int64_t* cid = corner_ids + cell * 8;
+    for (const auto& tet : kTets) {
+      int cs = (cv[tet[0]] < level) | ((cv[tet[1]] < level) << 1) |
+               ((cv[tet[2]] < level) << 2) | ((cv[tet[3]] < level) << 3);
+      for (const TetTriangle& tri : table.tris[cs]) {
+        int64_t ids[3];
+        bool degenerate = false;
+        for (int e = 0; e < 3; ++e) {
+          int la = tet[tri.a[e]], lb = tet[tri.b[e]];
+          int64_t ga = cid[la], gb = cid[lb];
+          uint64_t key = ga < gb
+                             ? (static_cast<uint64_t>(ga) << 32) |
+                                   static_cast<uint64_t>(gb)
+                             : (static_cast<uint64_t>(gb) << 32) |
+                                   static_cast<uint64_t>(ga);
+          auto it = edge_vertex.find(key);
+          if (it != edge_vertex.end()) {
+            ids[e] = it->second;
+          } else {
+            if (nv >= verts_cap) return -1;
+            double va = cv[la], vb = cv[lb];
+            double denom = vb - va;
+            if (std::fabs(denom) < 1e-12) denom = 1e-12;
+            double t = (level - va) / denom;
+            t = t < 0.0 ? 0.0 : (t > 1.0 ? 1.0 : t);
+            const double* pa = cp + la * 3;
+            const double* pb = cp + lb * 3;
+            out_verts[nv * 3] = pa[0] + t * (pb[0] - pa[0]);
+            out_verts[nv * 3 + 1] = pa[1] + t * (pb[1] - pa[1]);
+            out_verts[nv * 3 + 2] = pa[2] + t * (pb[2] - pa[2]);
+            ids[e] = nv;
+            edge_vertex.emplace(key, nv);
+            ++nv;
+          }
+        }
+        if (ids[0] == ids[1] || ids[1] == ids[2] || ids[0] == ids[2])
+          degenerate = true;
+        if (!degenerate) {
+          if (nf >= faces_cap) return -1;
+          out_faces[nf * 3] = ids[0];
+          out_faces[nf * 3 + 1] = ids[1];
+          out_faces[nf * 3 + 2] = ids[2];
+          ++nf;
+        }
+      }
+    }
+  }
+  *out_n_verts = nv;
+  return nf;
+}
+
+// Marching tetrahedra directly over the hierarchical fine lattices: for
+// each surface-crossing coarse cell, its (s+1)^3 fine corner values plus
+// the coarse integer coordinates; fine corner positions and global weld
+// ids are derived internally (lo + global_fine_ijk * fine_size). Outputs
+// are allocated internally at exact size (a cheap counting pass first) —
+// on this deployment's sandboxed kernel, first-touch page faults cost
+// ~100x steady-state memory access, so oversized caller-allocated
+// capacity buffers dominated wall time. Welding uses a flat
+// open-addressed hash (power-of-two, linear probing) for the same reason.
+// Caller frees the outputs with am_free().
+
+namespace {
+struct FlatEdgeMap {
+  std::vector<uint64_t> keys;   // 0 = empty (key 0 cannot occur: ga < gb)
+  std::vector<int32_t> vals;
+  uint64_t mask;
+  explicit FlatEdgeMap(size_t expected) {
+    size_t cap = 64;
+    while (cap < expected * 2) cap <<= 1;
+    keys.assign(cap, 0);
+    vals.resize(cap);
+    mask = cap - 1;
+  }
+  // returns existing value or -1 after positioning *slot for insert
+  int32_t find(uint64_t key, size_t* slot) const {
+    size_t h = (key * 0x9E3779B97F4A7C15ull) & mask;
+    while (keys[h] != 0) {
+      if (keys[h] == key) { *slot = h; return vals[h]; }
+      h = (h + 1) & mask;
+    }
+    *slot = h;
+    return -1;
+  }
+  void insert_at(size_t slot, uint64_t key, int32_t val) {
+    keys[slot] = key;
+    vals[slot] = val;
+  }
+};
+}  // namespace
+
+void am_free(void* p) { std::free(p); }
+
+// Returns face count; *out_verts -> malloc'd float32 (nv, 3),
+// *out_faces -> malloc'd int32 (nf, 3), *out_n_verts -> nv.
+int64_t marching_tetrahedra_grid(
+    const float* fine_vals,   // (C, s+1, s+1, s+1)
+    const int64_t* cell_ijk,  // (C, 3) coarse cell coords
+    int64_t n_cells, int64_t s, const double* lo, const double* cell_size,
+    double level, int64_t fine_R, float** out_verts, int32_t** out_faces,
+    int64_t* out_n_verts) {
+  const TetCaseTable& table = tet_table();
+  const int64_t sp1 = s + 1;
+  const double fx = cell_size[0] / s, fy = cell_size[1] / s,
+               fz = cell_size[2] / s;
+
+  // Pass 1: exact (pre-weld) triangle count.
+  int64_t tri_count = 0;
+  for (int64_t cell = 0; cell < n_cells; ++cell) {
+    const float* vals = fine_vals + cell * sp1 * sp1 * sp1;
+    for (int64_t ci = 0; ci < s; ++ci)
+      for (int64_t cj = 0; cj < s; ++cj)
+        for (int64_t ck = 0; ck < s; ++ck) {
+          bool in8[8];
+          int n_in = 0;
+          for (int c = 0; c < 8; ++c) {
+            int dx = c & 1, dy = (c >> 1) & 1, dz = (c >> 2) & 1;
+            in8[c] =
+                vals[((ci + dx) * sp1 + cj + dy) * sp1 + ck + dz] < level;
+            n_in += in8[c];
+          }
+          if (n_in == 0 || n_in == 8) continue;
+          for (const auto& tet : kTets) {
+            int cs = in8[tet[0]] | (in8[tet[1]] << 1) | (in8[tet[2]] << 2) |
+                     (in8[tet[3]] << 3);
+            tri_count += static_cast<int64_t>(table.tris[cs].size());
+          }
+        }
+  }
+  if (tri_count == 0) {
+    *out_verts = nullptr;
+    *out_faces = nullptr;
+    *out_n_verts = 0;
+    return 0;
+  }
+
+  // Pass 2: triangulate. Unique welded vertices are bounded by ~tri_count
+  // in practice (~F/2); the vertex array grows geometrically from a tight
+  // initial guess to avoid faulting a worst-case 3*F buffer.
+  FlatEdgeMap weld(static_cast<size_t>(tri_count));
+  int64_t v_cap = tri_count / 2 + 1024;
+  float* verts = static_cast<float*>(std::malloc(v_cap * 3 * sizeof(float)));
+  int32_t* faces =
+      static_cast<int32_t*>(std::malloc(tri_count * 3 * sizeof(int32_t)));
+  int64_t nv = 0, nf = 0;
+
+  for (int64_t cell = 0; cell < n_cells; ++cell) {
+    const float* vals = fine_vals + cell * sp1 * sp1 * sp1;
+    const int64_t gi0 = cell_ijk[cell * 3] * s;
+    const int64_t gj0 = cell_ijk[cell * 3 + 1] * s;
+    const int64_t gk0 = cell_ijk[cell * 3 + 2] * s;
+    for (int64_t ci = 0; ci < s; ++ci)
+      for (int64_t cj = 0; cj < s; ++cj)
+        for (int64_t ck = 0; ck < s; ++ck) {
+          float cv[8];
+          int64_t cid[8];
+          double cpx[8], cpy[8], cpz[8];
+          int n_in = 0;
+          for (int c = 0; c < 8; ++c) {
+            int dx = c & 1, dy = (c >> 1) & 1, dz = (c >> 2) & 1;
+            int64_t li = ci + dx, lj = cj + dy, lk = ck + dz;
+            cv[c] = vals[(li * sp1 + lj) * sp1 + lk];
+            n_in += cv[c] < level;
+            int64_t gi = gi0 + li, gj = gj0 + lj, gk = gk0 + lk;
+            cid[c] = (gi * fine_R + gj) * fine_R + gk;
+            cpx[c] = lo[0] + gi * fx;
+            cpy[c] = lo[1] + gj * fy;
+            cpz[c] = lo[2] + gk * fz;
+          }
+          if (n_in == 0 || n_in == 8) continue;
+          for (const auto& tet : kTets) {
+            int cs = (cv[tet[0]] < level) | ((cv[tet[1]] < level) << 1) |
+                     ((cv[tet[2]] < level) << 2) |
+                     ((cv[tet[3]] < level) << 3);
+            for (const TetTriangle& tri : table.tris[cs]) {
+              int32_t ids[3];
+              for (int e = 0; e < 3; ++e) {
+                int la = tet[tri.a[e]], lb = tet[tri.b[e]];
+                int64_t ga = cid[la], gb = cid[lb];
+                uint64_t key = ga < gb
+                                   ? (static_cast<uint64_t>(ga) << 32) |
+                                         static_cast<uint64_t>(gb)
+                                   : (static_cast<uint64_t>(gb) << 32) |
+                                         static_cast<uint64_t>(ga);
+                size_t slot;
+                int32_t found = weld.find(key, &slot);
+                if (found >= 0) {
+                  ids[e] = found;
+                } else {
+                  if (nv >= v_cap) {
+                    v_cap = v_cap + v_cap / 2;
+                    verts = static_cast<float*>(
+                        std::realloc(verts, v_cap * 3 * sizeof(float)));
+                  }
+                  double va = cv[la], vb = cv[lb];
+                  double denom = vb - va;
+                  if (std::fabs(denom) < 1e-12) denom = 1e-12;
+                  double t = (level - va) / denom;
+                  t = t < 0.0 ? 0.0 : (t > 1.0 ? 1.0 : t);
+                  verts[nv * 3] =
+                      static_cast<float>(cpx[la] + t * (cpx[lb] - cpx[la]));
+                  verts[nv * 3 + 1] =
+                      static_cast<float>(cpy[la] + t * (cpy[lb] - cpy[la]));
+                  verts[nv * 3 + 2] =
+                      static_cast<float>(cpz[la] + t * (cpz[lb] - cpz[la]));
+                  ids[e] = static_cast<int32_t>(nv);
+                  weld.insert_at(slot, key, ids[e]);
+                  ++nv;
+                }
+              }
+              if (ids[0] == ids[1] || ids[1] == ids[2] || ids[0] == ids[2])
+                continue;
+              faces[nf * 3] = ids[0];
+              faces[nf * 3 + 1] = ids[1];
+              faces[nf * 3 + 2] = ids[2];
+              ++nf;
+            }
+          }
+        }
+  }
+  *out_verts = verts;
+  *out_faces = faces;
+  *out_n_verts = nv;
+  return nf;
+}
+
+// Uniform-grid vertex clustering: quantize vertices to a res^3 lattice
+// over their bounding box, merge each cell to its centroid, drop
+// degenerate/duplicate faces. One sort-based pass — used to pre-simplify
+// multi-million-face marching-tets output before the (serial, greedy) QEM
+// stage. Returns new face count; *out_n_verts receives the vertex count.
+int64_t grid_cluster_simplify(const double* verts, int64_t n_verts,
+                              const int64_t* faces, int64_t n_faces,
+                              int64_t res, double* out_verts,
+                              int64_t* out_faces, int64_t* out_n_verts) {
+  double lo[3] = {1e30, 1e30, 1e30}, hi[3] = {-1e30, -1e30, -1e30};
+  for (int64_t i = 0; i < n_verts; ++i)
+    for (int d = 0; d < 3; ++d) {
+      double x = verts[i * 3 + d];
+      lo[d] = std::min(lo[d], x);
+      hi[d] = std::max(hi[d], x);
+    }
+  double inv[3];
+  for (int d = 0; d < 3; ++d) {
+    double ext = hi[d] - lo[d];
+    inv[d] = ext > 1e-30 ? (res - 1e-9) / ext : 0.0;
+  }
+
+  // cell id per vertex
+  std::vector<int64_t> cell(n_verts);
+  for (int64_t i = 0; i < n_verts; ++i) {
+    int64_t cx = static_cast<int64_t>((verts[i * 3] - lo[0]) * inv[0]);
+    int64_t cy = static_cast<int64_t>((verts[i * 3 + 1] - lo[1]) * inv[1]);
+    int64_t cz = static_cast<int64_t>((verts[i * 3 + 2] - lo[2]) * inv[2]);
+    cell[i] = (cx * res + cy) * res + cz;
+  }
+  // unique cells by sort -> dense new ids
+  std::vector<int64_t> order(n_verts);
+  for (int64_t i = 0; i < n_verts; ++i) order[i] = i;
+  std::sort(order.begin(), order.end(),
+            [&](int64_t a, int64_t b) { return cell[a] < cell[b]; });
+  std::vector<int64_t> new_id(n_verts);
+  int64_t nv = -1;
+  int64_t prev = -1;
+  std::vector<double> sum;
+  std::vector<int64_t> cnt;
+  sum.reserve(n_verts / 4 * 3);
+  cnt.reserve(n_verts / 4);
+  for (int64_t k = 0; k < n_verts; ++k) {
+    int64_t i = order[k];
+    if (cell[i] != prev) {
+      prev = cell[i];
+      ++nv;
+      sum.push_back(0);
+      sum.push_back(0);
+      sum.push_back(0);
+      cnt.push_back(0);
+    }
+    new_id[i] = nv;
+    sum[nv * 3] += verts[i * 3];
+    sum[nv * 3 + 1] += verts[i * 3 + 1];
+    sum[nv * 3 + 2] += verts[i * 3 + 2];
+    cnt[nv] += 1;
+  }
+  ++nv;
+  for (int64_t c = 0; c < nv; ++c) {
+    out_verts[c * 3] = sum[c * 3] / cnt[c];
+    out_verts[c * 3 + 1] = sum[c * 3 + 1] / cnt[c];
+    out_verts[c * 3 + 2] = sum[c * 3 + 2] / cnt[c];
+  }
+
+  // remap faces, drop degenerate, dedupe by sorted key
+  std::vector<uint64_t> fkeys;
+  fkeys.reserve(n_faces);
+  int64_t nf = 0;
+  for (int64_t f = 0; f < n_faces; ++f) {
+    int64_t a = new_id[faces[f * 3]];
+    int64_t b = new_id[faces[f * 3 + 1]];
+    int64_t c = new_id[faces[f * 3 + 2]];
+    if (a == b || b == c || a == c) continue;
+    int64_t s0 = std::min({a, b, c});
+    int64_t s2 = std::max({a, b, c});
+    int64_t s1 = a + b + c - s0 - s2;
+    fkeys.push_back((static_cast<uint64_t>(s0) * 2654435761u) ^
+                    (static_cast<uint64_t>(s1) * 40503u) ^
+                    (static_cast<uint64_t>(s2) * 2246822519u));
+    out_faces[nf * 3] = a;
+    out_faces[nf * 3 + 1] = b;
+    out_faces[nf * 3 + 2] = c;
+    ++nf;
+  }
+  // dedupe: mark duplicates via sort of (key, index)
+  std::vector<int64_t> forder(nf);
+  for (int64_t i = 0; i < nf; ++i) forder[i] = i;
+  std::sort(forder.begin(), forder.end(),
+            [&](int64_t x, int64_t y) { return fkeys[x] < fkeys[y]; });
+  std::vector<char> drop(nf, 0);
+  for (int64_t k = 1; k < nf; ++k)
+    if (fkeys[forder[k]] == fkeys[forder[k - 1]]) drop[forder[k]] = 1;
+  int64_t w = 0;
+  for (int64_t f = 0; f < nf; ++f) {
+    if (drop[f]) continue;
+    if (w != f) {
+      out_faces[w * 3] = out_faces[f * 3];
+      out_faces[w * 3 + 1] = out_faces[f * 3 + 1];
+      out_faces[w * 3 + 2] = out_faces[f * 3 + 2];
+    }
+    ++w;
+  }
+  *out_n_verts = nv;
+  return w;
+}
 
 // Decimate to <= target_faces. Returns new face count; outputs written to
 // out_verts (n_verts*3 capacity) / out_faces (n_faces*3 capacity);
@@ -94,7 +510,7 @@ int64_t quadric_decimate(const double* verts, int64_t n_verts,
                          int64_t* out_faces, int64_t* out_n_verts) {
   std::vector<double> pos(verts, verts + n_verts * 3);
   std::vector<Quadric> quadrics(n_verts);
-  std::vector<uint64_t> version(n_verts, 0);
+  std::vector<uint32_t> version(n_verts, 0);
   std::vector<int64_t> parent(n_verts);
   for (int64_t i = 0; i < n_verts; ++i) parent[i] = i;
 
@@ -125,20 +541,15 @@ int64_t quadric_decimate(const double* verts, int64_t n_verts,
     }
   }
 
-  // unique edges
-  std::unordered_set<uint64_t> edge_set;
-  edge_set.reserve(n_faces * 3);
-  std::priority_queue<Collapse> heap;
-
-  auto push_edge = [&](int64_t u, int64_t v) {
-    if (u == v) return;
+  auto make_collapse = [&](int64_t u, int64_t v, Collapse* c) -> bool {
+    if (u == v) return false;
     if (u > v) std::swap(u, v);
     Quadric q = quadrics[u];
     q.add(quadrics[v]);
-    Collapse c;
-    c.u = u; c.v = v;
-    c.stamp_u = version[u]; c.stamp_v = version[v];
-    if (!q.optimal(c.pos)) {
+    c->u = static_cast<int32_t>(u); c->v = static_cast<int32_t>(v);
+    c->stamp_u = version[u]; c->stamp_v = version[v];
+    double opt[3];
+    if (!q.optimal(opt)) {
       // fall back to best of endpoints / midpoint
       double mid[3] = {(pos[u * 3] + pos[v * 3]) / 2,
                        (pos[u * 3 + 1] + pos[v * 3 + 1]) / 2,
@@ -146,40 +557,71 @@ int64_t quadric_decimate(const double* verts, int64_t n_verts,
       double cu = q.eval(pos[u * 3], pos[u * 3 + 1], pos[u * 3 + 2]);
       double cv = q.eval(pos[v * 3], pos[v * 3 + 1], pos[v * 3 + 2]);
       double cm = q.eval(mid[0], mid[1], mid[2]);
-      if (cu <= cv && cu <= cm) std::memcpy(c.pos, &pos[u * 3], 24);
-      else if (cv <= cm) std::memcpy(c.pos, &pos[v * 3], 24);
-      else std::memcpy(c.pos, mid, 24);
+      if (cu <= cv && cu <= cm) std::memcpy(opt, &pos[u * 3], 24);
+      else if (cv <= cm) std::memcpy(opt, &pos[v * 3], 24);
+      else std::memcpy(opt, mid, 24);
     }
-    c.cost = q.eval(c.pos[0], c.pos[1], c.pos[2]);
-    heap.push(c);
+    c->pos[0] = static_cast<float>(opt[0]);
+    c->pos[1] = static_cast<float>(opt[1]);
+    c->pos[2] = static_cast<float>(opt[2]);
+    c->cost = static_cast<float>(q.eval(opt[0], opt[1], opt[2]));
+    return true;
   };
 
-  std::vector<std::vector<int64_t>> adj(n_verts);
+  // Unique edges by sort (a node-based hash set of millions of entries is
+  // page-fault bound here), then one O(E) heapify.
+  std::vector<uint64_t> edge_keys;
+  edge_keys.reserve(n_faces * 3);
   for (int64_t f = 0; f < n_faces; ++f) {
     const int64_t* tri = faces + f * 3;
     for (int k = 0; k < 3; ++k) {
       int64_t u = tri[k], v = tri[(k + 1) % 3];
-      uint64_t key = (uint64_t)std::min(u, v) << 32 | (uint64_t)std::max(u, v);
-      if (edge_set.insert(key).second) {
-        push_edge(u, v);
-        adj[u].push_back(v);
-        adj[v].push_back(u);
-      }
+      if (u == v) continue;
+      edge_keys.push_back((uint64_t)std::min(u, v) << 32 |
+                          (uint64_t)std::max(u, v));
     }
   }
+  std::sort(edge_keys.begin(), edge_keys.end());
+  edge_keys.erase(std::unique(edge_keys.begin(), edge_keys.end()),
+                  edge_keys.end());
+
+  // Initial edge costs in parallel (each entry independent).
+  const int64_t n_edges = static_cast<int64_t>(edge_keys.size());
+  std::vector<Collapse> initial(n_edges);
+#pragma omp parallel for schedule(static)
+  for (int64_t e = 0; e < n_edges; ++e) {
+    uint64_t key = edge_keys[e];
+    make_collapse(static_cast<int64_t>(key >> 32),
+                  static_cast<int64_t>(key & 0xFFFFFFFFull), &initial[e]);
+  }
+  edge_keys.clear();
+  edge_keys.shrink_to_fit();
+  std::priority_queue<Collapse> heap(std::less<Collapse>(),
+                                     std::move(initial));
 
   int64_t live_faces = n_faces;
   int64_t collapses_needed = (n_faces - target_faces) / 2 + 1;
   int64_t done = 0;
+  int64_t stale_budget = n_faces * 24 + (1 << 20);  // termination backstop
 
+  // Lazy-reinsert scheme: no adjacency lists and no neighbor re-pushes per
+  // collapse. A popped entry whose version stamps are stale is recomputed
+  // at the current roots/quadrics and pushed back once; connectivity rides
+  // in the heap itself. This cuts heap traffic ~(degree)x on large meshes.
   while (!heap.empty() && live_faces > target_faces) {
     Collapse c = heap.top();
     heap.pop();
     int64_t u = find_root(parent, c.u);
     int64_t v = find_root(parent, c.v);
     if (u == v) continue;
-    if (version[c.u] != c.stamp_u || version[c.v] != c.stamp_v) continue;
-    if (u != c.u || v != c.v) continue;
+    if (version[c.u] != c.stamp_u || version[c.v] != c.stamp_v ||
+        u != c.u || v != c.v) {
+      if (--stale_budget > 0) {
+        Collapse fresh;
+        if (make_collapse(u, v, &fresh)) heap.push(fresh);
+      }
+      continue;
+    }
 
     // collapse u into v at optimal position
     parent[u] = v;
@@ -189,21 +631,6 @@ int64_t quadric_decimate(const double* verts, int64_t n_verts,
     quadrics[v].add(quadrics[u]);
     version[u]++;
     version[v]++;
-
-    // merge adjacency and re-queue v's (now stale) edges at new versions
-    for (int64_t w : adj[u]) {
-      int64_t rw = find_root(parent, w);
-      if (rw != v) adj[v].push_back(rw);
-    }
-    adj[u].clear();
-    // compact adjacency of v to live roots and re-push its edges
-    std::unordered_set<int64_t> nbrs;
-    for (int64_t w : adj[v]) {
-      int64_t rw = find_root(parent, w);
-      if (rw != v) nbrs.insert(rw);
-    }
-    adj[v].assign(nbrs.begin(), nbrs.end());
-    for (int64_t w : adj[v]) push_edge(v, w);
     // estimate faces removed (2 per manifold edge collapse)
     live_faces -= 2;
     if (++done > collapses_needed * 4 + 16) break;  // safety bound

@@ -87,6 +87,71 @@ class TestIsosurface:
         assert abs(mesh.area - analytic) / analytic < 0.02
 
 
+class TestNativeMarchingTets:
+    def test_native_matches_numpy_exactly(self):
+        """The C++ triangulation must weld/triangulate identically to the
+        numpy semantic reference (same counts, bijective vertex map, same
+        oriented face set)."""
+        import pytest
+
+        from actionmesh_tpu.ops import isosurface as iso
+        from actionmesh_tpu.utils import native as nat_mod
+
+        try:
+            nat_mod._load()
+        except Exception:
+            pytest.skip("native toolchain unavailable")
+        from scipy.spatial import cKDTree
+
+        R = 17
+        lo, hi = np.array([-1.0] * 3), np.array([1.0] * 3)
+        pts = iso._grid_points(lo, hi, R)
+        vals = (
+            np.linalg.norm(pts, axis=-1)
+            - 0.7
+            + 0.05 * np.sin(5 * pts[..., 0]) * np.cos(4 * pts[..., 1])
+        ).astype(np.float32)
+        corners = iso._CUBE_CORNERS
+        cp = np.stack(
+            [pts[dx : R - 1 + dx, dy : R - 1 + dy, dz : R - 1 + dz]
+             for dx, dy, dz in corners], axis=-2,
+        ).reshape(-1, 8, 3)
+        ids = np.arange(R ** 3).reshape(R, R, R)
+        cid = np.stack(
+            [ids[dx : R - 1 + dx, dy : R - 1 + dy, dz : R - 1 + dz]
+             for dx, dy, dz in corners], axis=-1,
+        ).reshape(-1, 8)
+        cv = np.stack(
+            [vals.reshape(R, R, R)[dx : R - 1 + dx, dy : R - 1 + dy, dz : R - 1 + dz]
+             for dx, dy, dz in corners], axis=-1,
+        ).reshape(-1, 8)
+        fin = cv < 0.0
+        keep = fin.any(1) & ~fin.all(1)
+        cp, cv, cid = cp[keep], cv[keep], cid[keep]
+
+        v_nat, f_nat = nat_mod.marching_tetrahedra_cells(cp, cv, cid, 0.0)
+        orig = nat_mod.marching_tetrahedra_cells
+        nat_mod.marching_tetrahedra_cells = None  # force numpy fallback
+        try:
+            v_np, f_np = iso.marching_tetrahedra(cp, cv, cid, 0.0)
+        finally:
+            nat_mod.marching_tetrahedra_cells = orig
+
+        assert v_nat.shape == v_np.shape and f_nat.shape == f_np.shape
+        d, perm = cKDTree(v_np).query(v_nat)
+        assert d.max() < 1e-4
+        assert len(set(perm.tolist())) == len(perm)
+        fa = perm[f_nat]
+
+        def canon(f):
+            m = np.argmin(f, axis=1)
+            return set(
+                map(tuple, np.stack([np.roll(t, -s_) for t, s_ in zip(f, m)]))
+            )
+
+        assert canon(fa) == canon(f_np)
+
+
 class TestMeshOps:
     def _sphere(self):
         v, f = hierarchical_extract_geometry(
