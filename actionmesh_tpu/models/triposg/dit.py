@@ -59,6 +59,7 @@ def triposg_dit_forward(
     context: jnp.ndarray,
     diffusion_time: jnp.ndarray,
     attn_impl: str = "auto",
+    mesh=None,
 ) -> jnp.ndarray:
     """One velocity prediction. latents (B, N, C), context (B, S, Dc)."""
     B = latents.shape[0]
@@ -71,5 +72,6 @@ def triposg_dit_forward(
         diffusion_time=diffusion_time,
         mask=None,
         attn_impl=attn_impl,
+        mesh=mesh,
     )
     return out[:, 0]

@@ -47,7 +47,7 @@ DEFAULT_BOUNDS = (-1.005, -1.005, -1.005, 1.005, 1.005, 1.005)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("dit_cfg", "guidance_scale", "attn_impl")
+    jax.jit, static_argnames=("dit_cfg", "guidance_scale", "attn_impl", "mesh")
 )
 def _flow_sample(
     dit_params,
@@ -58,17 +58,35 @@ def _flow_sample(
     distances: jnp.ndarray,
     guidance_scale: float,
     attn_impl: str = "auto",
+    mesh=None,
 ) -> jnp.ndarray:
-    """Euler rectified-flow loop with CFG, as one compiled scan."""
+    """Euler rectified-flow loop with CFG, as one compiled scan.
+
+    Under a device mesh, the CFG pair rides the dp axis and attention
+    heads shard over tp (same scheme as Stage I's denoise_window).
+    """
     B = init_noise.shape[0]
     context_g = jnp.concatenate([jnp.zeros_like(context), context], axis=0)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        context_g = jax.lax.with_sharding_constraint(
+            context_g, NamedSharding(mesh, P("dp"))
+        )
 
     def step(latents, inputs):
         t, dist = inputs
         hidden = jnp.concatenate([latents] * 2, axis=0)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            hidden = jax.lax.with_sharding_constraint(
+                hidden, NamedSharding(mesh, P("dp"))
+            )
         dt = jnp.full((2 * B,), t, latents.dtype)
         pred = triposg_dit_forward(
-            dit_params, dit_cfg, hidden, context_g, dt, attn_impl=attn_impl
+            dit_params, dit_cfg, hidden, context_g, dt, attn_impl=attn_impl,
+            mesh=mesh,
         )
         uncond, cond = jnp.split(pred, 2, axis=0)
         v = uncond + guidance_scale * (cond - uncond)

@@ -140,6 +140,31 @@ def test_sharded_denoise_flash_matches_chunked():
     )
 
 
+def test_sharded_stage0_flow_sample_matches_unsharded():
+    """TripoSG-style Stage 0 sampling under the mesh == unsharded."""
+    from actionmesh_tpu.models.triposg.pipeline import _flow_sample
+
+    params = init_denoiser(jax.random.PRNGKey(0), CFG)
+    key = jax.random.PRNGKey(11)
+    noise = jax.random.normal(key, (1, CFG.num_tokens_nominal, CFG.in_channels))
+    context = jax.random.normal(key, (1, 5, CFG.cross_attention_dim))
+    ts, dist = get_schedule(2, shift=3.0)
+
+    ref = _flow_sample(
+        params, CFG, noise, context, jnp.asarray(ts), jnp.asarray(dist),
+        guidance_scale=7.5, attn_impl="chunked",
+    )
+    mesh = make_mesh(8)
+    sharded = shard_params(params, denoiser_param_shardings(params, mesh))
+    out = _flow_sample(
+        sharded, CFG, noise, context, jnp.asarray(ts), jnp.asarray(dist),
+        guidance_scale=7.5, attn_impl="flash", mesh=mesh,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5
+    )
+
+
 def test_param_shardings_cover_tree():
     params = init_denoiser(jax.random.PRNGKey(0), CFG)
     mesh = make_mesh(8)
