@@ -235,6 +235,7 @@ struct FlatEdgeMap {
   std::vector<uint64_t> keys;   // 0 = empty (key 0 cannot occur: ga < gb)
   std::vector<int32_t> vals;
   uint64_t mask;
+  size_t count = 0;
   explicit FlatEdgeMap(size_t expected) {
     size_t cap = 64;
     while (cap < expected * 2) cap <<= 1;
@@ -255,6 +256,24 @@ struct FlatEdgeMap {
   void insert_at(size_t slot, uint64_t key, int32_t val) {
     keys[slot] = key;
     vals[slot] = val;
+    // keep load factor < 0.5 — the estimate feeding `expected` is a
+    // heuristic (welded verts ~ tris/2); adversarial tessellations could
+    // otherwise overfill the fixed table and spin the probe loop
+    if (++count * 2 > keys.size()) grow();
+  }
+  void grow() {
+    std::vector<uint64_t> old_keys = std::move(keys);
+    std::vector<int32_t> old_vals = std::move(vals);
+    keys.assign(old_keys.size() * 2, 0);
+    vals.assign(old_keys.size() * 2, 0);
+    mask = keys.size() - 1;
+    for (size_t i = 0; i < old_keys.size(); ++i) {
+      if (old_keys[i] == 0) continue;
+      size_t h = (old_keys[i] * 0x9E3779B97F4A7C15ull) & mask;
+      while (keys[h] != 0) h = (h + 1) & mask;
+      keys[h] = old_keys[i];
+      vals[h] = old_vals[i];
+    }
   }
 };
 }  // namespace
