@@ -59,6 +59,8 @@ class AutoencoderConfig:
     embed_frequency: int = 8
     embed_include_pi: bool = False
     prediction_mode: str = "direct"  # direct | residual
+    # tanh GELU (see models/denoiser.DenoiserConfig.gelu_approx)
+    gelu_approx: bool = True
 
     @property
     def width_per_head(self) -> int:
@@ -193,8 +195,10 @@ def autoencoder_forward(
     )
 
     # -- RoPE tables over [T*N latent tokens | T alpha tokens]
+    # half channel layout (ops/rotary.py); converter permutes q/k columns
     cos, sin = compute_rotary_embeddings(
-        embed_dim=cfg.width_per_head, positions=framestep_centered
+        embed_dim=cfg.width_per_head, positions=framestep_centered,
+        layout="half",
     )
     cos = cos.reshape(B, T, -1)
     sin = sin.reshape(B, T, -1)
@@ -234,6 +238,8 @@ def autoencoder_forward(
             num_attention_heads=cfg.num_attention_heads,
             freqs_rot=(cos_b, sin_b),
             attn_impl=attn_impl,
+            rope_layout="half",
+            gelu_approx=cfg.gelu_approx,
             mesh=mesh,
         )
 

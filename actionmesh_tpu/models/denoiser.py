@@ -56,6 +56,10 @@ class DenoiserConfig:
     mlp_ratio: float = 4.0
     cross_attention_dim: int = 1024
     inflated_layers: tuple[int, ...] = tuple(range(21))
+    # tanh GELU: fused (free) on TPU vs ~8 ms/block for erf; output delta is
+    # below bf16 quantization noise (see models/layers.feed_forward). fp32
+    # golden-parity tests pin this to False.
+    gelu_approx: bool = True
 
     @property
     def width_per_head(self) -> int:
@@ -111,13 +115,18 @@ def precompute_freqs_rot(
     framestep (B, T) are real video timesteps; each frame's centered value
     is shared by its N+1 tokens (reference: temporal_denoiser.py:114-149).
     Computed once per AR window, constant across denoising steps.
+
+    Tables use the ``half`` channel layout (ops/rotary.py): the rotation is
+    then two contiguous slices instead of a stride-2 lane shuffle. The
+    checkpoint converter permutes to_q/to_k columns to match
+    (utils/weights.py); attention scores are identical.
     """
     B, T = framestep.shape
     framestep_rel = merge_batch_time(
         scale_timestep(framestep, center=True, scale=False)
     )  # (B*T,)
     cos, sin = compute_rotary_embeddings(
-        embed_dim=cfg.width_per_head, positions=framestep_rel
+        embed_dim=cfg.width_per_head, positions=framestep_rel, layout="half"
     )  # (B*T, Dh)
     # Each frame's freqs repeat for its N+1 tokens; lay out as (B, T*(N+1), Dh)
     cos = jnp.repeat(cos[:, None, :], n_tokens + 1, axis=1).reshape(
@@ -200,6 +209,8 @@ def denoiser_forward(
             skip=skip,
             inflate_n_frames=inflate,
             attn_impl=attn_impl,
+            rope_layout="half",
+            gelu_approx=cfg.gelu_approx,
             mesh=mesh,
         )
         if layer < half:

@@ -13,10 +13,12 @@ fp32 accumulator / running max / running sum live in VMEM scratch across the
 KV sweep — the classic flash-attention recurrence on the MXU.
 
 Tuning (measured on v5e, seq 32784, D=128, bf16): the software-pipelined
-kernel (``flash_attention_pipelined``, U=3 sub-blocks of 512x1024 per grid
-step) reaches ~141 TFLOP/s (~72% MFU) — issuing sub-block i+1's QK^T dot
-before sub-block i's exp overlaps MXU with VPU transcendentals. The
-one-block kernel peaks at ~126 (1024x1024). Both need
+kernel (``flash_attention_pipelined``, U=3 sub-blocks of 768x1024 per grid
+step) reaches ~147 TFLOP/s (~75% MFU) — issuing sub-block i+1's QK^T dot
+before sub-block i's exp overlaps MXU with VPU transcendentals; the
+remaining gap to peak is intrinsic VPU work (exp + online-softmax
+reductions ~ MXU time per block). Larger q blocks (1280+) regress despite
+less K/V refetch. The one-block kernel peaks at ~126 (1024x1024). Both need
 ``vmem_limit_bytes`` raised past the 16 MiB scoped default (v5e has
 128 MiB VMEM). Edge-only masking of the final padded KV block avoids
 per-block VPU select work. exp2-instead-of-exp and fusing qk-norm/RoPE
@@ -192,7 +194,7 @@ def flash_attention_pipelined(
     v: jnp.ndarray,
     scale: Optional[float] = None,
     kv_mask: Optional[jnp.ndarray] = None,
-    block_q: int = 512,
+    block_q: int = 768,
     block_k: int = 1024,
     unroll: int = 3,
     interpret: Optional[bool] = None,
@@ -216,10 +218,15 @@ def flash_attention_pipelined(
     block_q = min(block_q, _round_up(Sq, 128))
     fetch_k = block_k * unroll
     if _round_up(Sk, 128) < fetch_k:
-        # sequence too short to pipeline; use the one-block kernel
+        # KV too short to pipeline; use the one-block kernel, sized so the
+        # whole KV fits one block and Q blocks are as large as VMEM allows —
+        # measured ~9.98 ms vs 11.92 ms at the Stage-I cross-attention shape
+        # (Sq 2049, Sk 257) for the default 512/1024 split.
         return flash_attention(
             q, k, v, scale=scale, kv_mask=kv_mask,
-            block_q=block_q, block_k=block_k, interpret=interpret,
+            block_q=min(2176, _round_up(Sq, 128)),
+            block_k=min(1024, _round_up(Sk, 128)),
+            interpret=interpret,
         )
 
     k_pad = (-Sk) % fetch_k

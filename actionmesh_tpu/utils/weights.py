@@ -74,7 +74,29 @@ def _rms_norm(state: dict, prefix: str) -> dict:
     return {"scale": _to_jnp(state[f"{prefix}.weight"], jnp.float32)}
 
 
-def _attention(state: dict, prefix: str, dtype, fp32: bool = False) -> dict:
+def _permute_head_channels(tree: dict, heads: int, perm) -> dict:
+    """Permute per-head output channels of a q/k projection (+ norm scale).
+
+    Applies the interleaved->half RoPE layout permutation
+    (ops/rotary.rope_half_permutation) to a converted linear: kernel
+    (in, H*Dh) columns and bias are permuted within each head. Attention
+    scores are invariant because q and k receive the same permutation.
+    """
+    def perm_vec(v: jnp.ndarray) -> jnp.ndarray:
+        return v.reshape(heads, -1)[:, perm].reshape(v.shape)
+
+    out = {"kernel": tree["kernel"].reshape(
+        tree["kernel"].shape[0], heads, -1)[:, :, perm].reshape(
+        tree["kernel"].shape)}
+    if "bias" in tree:
+        out["bias"] = perm_vec(tree["bias"])
+    return out
+
+
+def _attention(
+    state: dict, prefix: str, dtype, fp32: bool = False,
+    rope_half_heads: int = 0,
+) -> dict:
     adtype = jnp.float32 if fp32 else dtype
     out = {
         "to_q": _linear(state, f"{prefix}.to_q", adtype),
@@ -87,15 +109,33 @@ def _attention(state: dict, prefix: str, dtype, fp32: bool = False) -> dict:
         out["norm_k"] = _rms_norm(state, f"{prefix}.norm_k")
     if f"{prefix}.norm_cross.weight" in state:
         out["norm_cross"] = _layer_norm(state, f"{prefix}.norm_cross")
+    if rope_half_heads:
+        from actionmesh_tpu.ops.rotary import rope_half_permutation
+
+        dim_head = out["to_q"]["kernel"].shape[1] // rope_half_heads
+        perm = rope_half_permutation(dim_head)
+        out["to_q"] = _permute_head_channels(out["to_q"], rope_half_heads, perm)
+        out["to_k"] = _permute_head_channels(out["to_k"], rope_half_heads, perm)
+        # per-head rms-norm scales live in head-dim channel order
+        for name in ("norm_q", "norm_k"):
+            if name in out:
+                out[name] = {"scale": out[name]["scale"][perm]}
     return out
 
 
-def _flow_block(state: dict, prefix: str, dtype, fp32: bool = False) -> dict:
+def _flow_block(
+    state: dict, prefix: str, dtype, fp32: bool = False,
+    rope_half_heads: int = 0,
+) -> dict:
     adtype = jnp.float32 if fp32 else dtype
     out: dict = {}
     if f"{prefix}.s_attn.to_q.weight" in state:
         out["norm_s_attn"] = _layer_norm(state, f"{prefix}.norm_s_attn")
-        out["s_attn"] = _attention(state, f"{prefix}.s_attn", dtype, fp32)
+        # self-attention receives RoPE -> permute to the half channel layout
+        out["s_attn"] = _attention(
+            state, f"{prefix}.s_attn", dtype, fp32,
+            rope_half_heads=rope_half_heads,
+        )
     if f"{prefix}.x_attn.to_q.weight" in state:
         out["norm_x_attn"] = _layer_norm(state, f"{prefix}.norm_x_attn")
         out["x_attn"] = _attention(state, f"{prefix}.x_attn", dtype, fp32)
@@ -124,7 +164,10 @@ def load_denoiser(path: Path, cfg, dtype=jnp.bfloat16) -> dict:
         },
         "proj_in": _linear(state, "proj_in", dtype),
         "blocks": [
-            _flow_block(state, f"blocks.{i}", dtype)
+            _flow_block(
+                state, f"blocks.{i}", dtype,
+                rope_half_heads=cfg.num_attention_heads,
+            )
             for i in range(cfg.num_layers)
         ],
         "norm_out": _layer_norm(state, "norm_out"),
@@ -140,7 +183,14 @@ def load_autoencoder(path: Path, cfg, dtype=jnp.bfloat16) -> dict:
     """
     state = load_safetensors_dir(path)
     n = cfg.num_layers
-    blocks = [_flow_block(state, f"blocks.{i}", dtype) for i in range(n)]
+    blocks = [
+        _flow_block(
+            state, f"blocks.{i}", dtype,
+            rope_half_heads=cfg.num_attention_heads,
+        )
+        for i in range(n)
+    ]
+    # final cross-attention block: no RoPE, no permutation
     blocks.append(_flow_block(state, f"blocks.{n}", dtype, fp32=True))
     return {
         "blocks": blocks,

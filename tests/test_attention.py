@@ -103,3 +103,46 @@ def test_flash_fused_interpret_matches_unfused():
     finally:
         pl.pallas_call = orig
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_rope_half_layout_equivalence():
+    """Half-layout RoPE on permuted q/k == interleaved RoPE, score-exactly.
+
+    The checkpoint converter permutes to_q/to_k columns by
+    rope_half_permutation so models can use the shuffle-free half layout
+    (ops/rotary.py); this pins the underlying invariance: applying the
+    permutation to the head channels and switching both the tables and the
+    rotation to `half` leaves attention scores unchanged.
+    """
+    from actionmesh_tpu.ops.rotary import (
+        apply_rotary_embedding,
+        compute_rotary_embeddings,
+        rope_half_permutation,
+    )
+
+    B, H, S, D = 2, 3, 17, 8
+    key = jax.random.PRNGKey(3)
+    kq, kk = jax.random.split(key)
+    q = jax.random.normal(kq, (B, H, S, D))
+    k = jax.random.normal(kk, (B, H, S, D))
+    positions = jnp.linspace(-2.0, 5.0, S)
+
+    cos_i, sin_i = compute_rotary_embeddings(D, positions)
+    q_i = apply_rotary_embedding(q, cos_i[None], sin_i[None])
+    k_i = apply_rotary_embedding(k, cos_i[None], sin_i[None])
+    scores_ref = jnp.einsum("bhqd,bhkd->bhqk", q_i, k_i)
+
+    perm = rope_half_permutation(D)
+    cos_h, sin_h = compute_rotary_embeddings(D, positions, layout="half")
+    q_h = apply_rotary_embedding(q[..., perm], cos_h[None], sin_h[None], layout="half")
+    k_h = apply_rotary_embedding(k[..., perm], cos_h[None], sin_h[None], layout="half")
+    scores_half = jnp.einsum("bhqd,bhkd->bhqk", q_h, k_h)
+
+    # rotated vectors are the permutation of the interleaved-rotated ones...
+    np.testing.assert_allclose(
+        np.asarray(q_h), np.asarray(q_i[..., perm]), atol=1e-6
+    )
+    # ...so scores agree exactly
+    np.testing.assert_allclose(
+        np.asarray(scores_half), np.asarray(scores_ref), atol=1e-5
+    )

