@@ -65,6 +65,14 @@ def _load() -> ctypes.CDLL:
         ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
         ctypes.POINTER(ctypes.c_int64),
     ]
+    lib.marching_cubes_cells.restype = ctypes.c_int64
+    lib.marching_cubes_cells.argtypes = list(
+        lib.marching_tetrahedra_cells.argtypes
+    )
+    lib.marching_cubes_grid.restype = ctypes.c_int64
+    lib.marching_cubes_grid.argtypes = list(
+        lib.marching_tetrahedra_grid.argtypes
+    )
     lib.am_free.restype = None
     lib.am_free.argtypes = [ctypes.c_void_p]
     lib.grid_cluster_simplify.restype = ctypes.c_int64
@@ -123,6 +131,37 @@ def marching_tetrahedra_cells(
     multi-million-cell fine grids. corner_ids must be < 2^31 (the weld key
     packs two ids into a uint64).
     """
+    return _marching_cells(
+        "marching_tetrahedra_cells", corner_points, corner_values,
+        corner_ids, level,
+    )
+
+
+def marching_cubes_cells(
+    corner_points: np.ndarray,
+    corner_values: np.ndarray,
+    corner_ids: np.ndarray,
+    level: float = 0.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Native marching cubes (generated case table, native/mc_table.h).
+
+    Same contract as marching_tetrahedra_cells with ~2-3x fewer output
+    triangles (vertices only on cube edges — the reference's MC
+    tessellation family).
+    """
+    return _marching_cells(
+        "marching_cubes_cells", corner_points, corner_values,
+        corner_ids, level,
+    )
+
+
+def _marching_cells(
+    fn_name: str,
+    corner_points: np.ndarray,
+    corner_values: np.ndarray,
+    corner_ids: np.ndarray,
+    level: float,
+) -> tuple[np.ndarray, np.ndarray]:
     lib = _load()
     C = len(corner_points)
     cp = np.ascontiguousarray(corner_points, np.float64)
@@ -134,7 +173,7 @@ def marching_tetrahedra_cells(
     out_v = np.empty((verts_cap, 3), np.float64)
     out_f = np.empty((faces_cap, 3), np.int64)
     out_nv = ctypes.c_int64(0)
-    nf = lib.marching_tetrahedra_cells(
+    nf = getattr(lib, fn_name)(
         cp.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         cv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         cid.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
@@ -144,7 +183,7 @@ def marching_tetrahedra_cells(
         ctypes.byref(out_nv),
     )
     if nf < 0:
-        raise RuntimeError("marching_tetrahedra_cells: capacity exceeded")
+        raise RuntimeError(f"{fn_name}: capacity exceeded")
     return (
         out_v[: out_nv.value].astype(np.float32),
         out_f[:nf].copy(),
@@ -167,6 +206,39 @@ def marching_tetrahedra_grid(
     wall time on this deployment — first-touch page faults cost ~100x
     steady-state memory access).
     """
+    return _marching_grid(
+        "marching_tetrahedra_grid", fine_vals, cell_ijk, lo, cell_size,
+        fine_R, level,
+    )
+
+
+def marching_cubes_grid(
+    fine_vals: np.ndarray,
+    cell_ijk: np.ndarray,
+    lo: np.ndarray,
+    cell_size: np.ndarray,
+    fine_R: int,
+    level: float = 0.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Native marching cubes over hierarchical fine lattices.
+
+    Same contract as marching_tetrahedra_grid; ~2-3x fewer triangles.
+    """
+    return _marching_grid(
+        "marching_cubes_grid", fine_vals, cell_ijk, lo, cell_size,
+        fine_R, level,
+    )
+
+
+def _marching_grid(
+    fn_name: str,
+    fine_vals: np.ndarray,
+    cell_ijk: np.ndarray,
+    lo: np.ndarray,
+    cell_size: np.ndarray,
+    fine_R: int,
+    level: float,
+) -> tuple[np.ndarray, np.ndarray]:
     lib = _load()
     C = len(fine_vals)
     s = fine_vals.shape[1] - 1
@@ -178,7 +250,7 @@ def marching_tetrahedra_grid(
     verts_ptr = ctypes.POINTER(ctypes.c_float)()
     faces_ptr = ctypes.POINTER(ctypes.c_int32)()
     out_nv = ctypes.c_int64(0)
-    nf = lib.marching_tetrahedra_grid(
+    nf = getattr(lib, fn_name)(
         fv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         cij.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         C, s,

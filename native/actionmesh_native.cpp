@@ -24,6 +24,8 @@
 #include <unordered_set>
 #include <vector>
 
+#include "mc_table.h"
+
 namespace {
 
 // ---------------------------------------------------------------------------
@@ -720,6 +722,202 @@ void farthest_point_sampling_cpu(const float* points, int64_t n, int64_t k,
     cur = best_j;
     out_indices[i] = cur;
   }
+}
+
+// ---------------------------------------------------------------------------
+// Marching cubes (table generated by scripts/gen_mc_table.py — derived by
+// face-consistent marching-squares tracing, watertight incl. ambiguous
+// cases; see actionmesh_tpu/ops/mc_table.py). Same contracts as the
+// marching_tetrahedra_* functions; ~2-3x fewer triangles for the same grid
+// (vertices only on cube edges, matching the reference's MC tessellation).
+// ---------------------------------------------------------------------------
+
+// Pre-filtered crossing cells variant; same ABI as marching_tetrahedra_cells.
+int64_t marching_cubes_cells(
+    const double* corner_pts, const float* corner_vals,
+    const int64_t* corner_ids, int64_t n_cells, double level,
+    double* out_verts, int64_t verts_cap, int64_t* out_faces,
+    int64_t faces_cap, int64_t* out_n_verts) {
+  std::unordered_map<uint64_t, int64_t> edge_vertex;
+  edge_vertex.reserve(static_cast<size_t>(n_cells) * 2 + 16);
+  int64_t nv = 0, nf = 0;
+
+  for (int64_t cell = 0; cell < n_cells; ++cell) {
+    const double* cp = corner_pts + cell * 24;
+    const float* cv = corner_vals + cell * 8;
+    const int64_t* cid = corner_ids + cell * 8;
+    int cfg = 0;
+    for (int c = 0; c < 8; ++c) cfg |= (cv[c] < level) << c;
+    const int8_t* tri = mc::kTriTable[cfg];
+    for (int t = 0; tri[t] >= 0; t += 3) {
+      int64_t ids[3];
+      for (int e = 0; e < 3; ++e) {
+        int la = mc::kCubeEdges[tri[t + e]][0];
+        int lb = mc::kCubeEdges[tri[t + e]][1];
+        int64_t ga = cid[la], gb = cid[lb];
+        uint64_t key = ga < gb
+                           ? (static_cast<uint64_t>(ga) << 32) |
+                                 static_cast<uint64_t>(gb)
+                           : (static_cast<uint64_t>(gb) << 32) |
+                                 static_cast<uint64_t>(ga);
+        auto it = edge_vertex.find(key);
+        if (it != edge_vertex.end()) {
+          ids[e] = it->second;
+        } else {
+          if (nv >= verts_cap) return -1;
+          double va = cv[la], vb = cv[lb];
+          double denom = vb - va;
+          if (std::fabs(denom) < 1e-12) denom = 1e-12;
+          double s = (level - va) / denom;
+          s = s < 0.0 ? 0.0 : (s > 1.0 ? 1.0 : s);
+          const double* pa = cp + la * 3;
+          const double* pb = cp + lb * 3;
+          out_verts[nv * 3] = pa[0] + s * (pb[0] - pa[0]);
+          out_verts[nv * 3 + 1] = pa[1] + s * (pb[1] - pa[1]);
+          out_verts[nv * 3 + 2] = pa[2] + s * (pb[2] - pa[2]);
+          ids[e] = nv;
+          edge_vertex.emplace(key, nv);
+          ++nv;
+        }
+      }
+      if (ids[0] == ids[1] || ids[1] == ids[2] || ids[0] == ids[2]) continue;
+      if (nf >= faces_cap) return -1;
+      out_faces[nf * 3] = ids[0];
+      out_faces[nf * 3 + 1] = ids[1];
+      out_faces[nf * 3 + 2] = ids[2];
+      ++nf;
+    }
+  }
+  *out_n_verts = nv;
+  return nf;
+}
+
+// Hierarchical fine-lattice variant; same ABI as marching_tetrahedra_grid
+// (exact-size malloc'd outputs, flat open-addressed weld hash — see that
+// function's notes on this deployment's page-fault behavior).
+int64_t marching_cubes_grid(
+    const float* fine_vals,   // (C, s+1, s+1, s+1)
+    const int64_t* cell_ijk,  // (C, 3) coarse cell coords
+    int64_t n_cells, int64_t s, const double* lo, const double* cell_size,
+    double level, int64_t fine_R, float** out_verts, int32_t** out_faces,
+    int64_t* out_n_verts) {
+  const int64_t sp1 = s + 1;
+  const double fx = cell_size[0] / s, fy = cell_size[1] / s,
+               fz = cell_size[2] / s;
+
+  // Per-config triangle counts for the counting pass.
+  int8_t tris_of_cfg[256];
+  for (int cfg = 0; cfg < 256; ++cfg) {
+    int t = 0;
+    while (mc::kTriTable[cfg][t] >= 0) t += 3;
+    tris_of_cfg[cfg] = static_cast<int8_t>(t / 3);
+  }
+
+  // Pass 1: exact (pre-weld) triangle count.
+  int64_t tri_count = 0;
+  for (int64_t cell = 0; cell < n_cells; ++cell) {
+    const float* vals = fine_vals + cell * sp1 * sp1 * sp1;
+    for (int64_t ci = 0; ci < s; ++ci)
+      for (int64_t cj = 0; cj < s; ++cj)
+        for (int64_t ck = 0; ck < s; ++ck) {
+          int cfg = 0;
+          for (int c = 0; c < 8; ++c) {
+            int dx = c & 1, dy = (c >> 1) & 1, dz = (c >> 2) & 1;
+            cfg |=
+                (vals[((ci + dx) * sp1 + cj + dy) * sp1 + ck + dz] < level)
+                << c;
+          }
+          tri_count += tris_of_cfg[cfg];
+        }
+  }
+  if (tri_count == 0) {
+    *out_verts = nullptr;
+    *out_faces = nullptr;
+    *out_n_verts = 0;
+    return 0;
+  }
+
+  FlatEdgeMap weld(static_cast<size_t>(tri_count));
+  int64_t v_cap = tri_count / 2 + 1024;
+  float* verts = static_cast<float*>(std::malloc(v_cap * 3 * sizeof(float)));
+  int32_t* faces =
+      static_cast<int32_t*>(std::malloc(tri_count * 3 * sizeof(int32_t)));
+  int64_t nv = 0, nf = 0;
+
+  for (int64_t cell = 0; cell < n_cells; ++cell) {
+    const float* vals = fine_vals + cell * sp1 * sp1 * sp1;
+    const int64_t gi0 = cell_ijk[cell * 3] * s;
+    const int64_t gj0 = cell_ijk[cell * 3 + 1] * s;
+    const int64_t gk0 = cell_ijk[cell * 3 + 2] * s;
+    for (int64_t ci = 0; ci < s; ++ci)
+      for (int64_t cj = 0; cj < s; ++cj)
+        for (int64_t ck = 0; ck < s; ++ck) {
+          float cv[8];
+          int64_t cid[8];
+          double cpx[8], cpy[8], cpz[8];
+          int cfg = 0;
+          for (int c = 0; c < 8; ++c) {
+            int dx = c & 1, dy = (c >> 1) & 1, dz = (c >> 2) & 1;
+            int64_t li = ci + dx, lj = cj + dy, lk = ck + dz;
+            cv[c] = vals[(li * sp1 + lj) * sp1 + lk];
+            cfg |= (cv[c] < level) << c;
+            int64_t gi = gi0 + li, gj = gj0 + lj, gk = gk0 + lk;
+            cid[c] = (gi * fine_R + gj) * fine_R + gk;
+            cpx[c] = lo[0] + gi * fx;
+            cpy[c] = lo[1] + gj * fy;
+            cpz[c] = lo[2] + gk * fz;
+          }
+          const int8_t* tri = mc::kTriTable[cfg];
+          for (int t = 0; tri[t] >= 0; t += 3) {
+            int32_t ids[3];
+            for (int e = 0; e < 3; ++e) {
+              int la = mc::kCubeEdges[tri[t + e]][0];
+              int lb = mc::kCubeEdges[tri[t + e]][1];
+              int64_t ga = cid[la], gb = cid[lb];
+              uint64_t key = ga < gb
+                                 ? (static_cast<uint64_t>(ga) << 32) |
+                                       static_cast<uint64_t>(gb)
+                                 : (static_cast<uint64_t>(gb) << 32) |
+                                       static_cast<uint64_t>(ga);
+              size_t slot;
+              int32_t found = weld.find(key, &slot);
+              if (found >= 0) {
+                ids[e] = found;
+              } else {
+                if (nv >= v_cap) {
+                  v_cap = v_cap + v_cap / 2;
+                  verts = static_cast<float*>(
+                      std::realloc(verts, v_cap * 3 * sizeof(float)));
+                }
+                double va = cv[la], vb = cv[lb];
+                double denom = vb - va;
+                if (std::fabs(denom) < 1e-12) denom = 1e-12;
+                double tt = (level - va) / denom;
+                tt = tt < 0.0 ? 0.0 : (tt > 1.0 ? 1.0 : tt);
+                verts[nv * 3] =
+                    static_cast<float>(cpx[la] + tt * (cpx[lb] - cpx[la]));
+                verts[nv * 3 + 1] =
+                    static_cast<float>(cpy[la] + tt * (cpy[lb] - cpy[la]));
+                verts[nv * 3 + 2] =
+                    static_cast<float>(cpz[la] + tt * (cpz[lb] - cpz[la]));
+                ids[e] = static_cast<int32_t>(nv);
+                weld.insert_at(slot, key, ids[e]);
+                ++nv;
+              }
+            }
+            if (ids[0] == ids[1] || ids[1] == ids[2] || ids[0] == ids[2])
+              continue;
+            faces[nf * 3] = ids[0];
+            faces[nf * 3 + 1] = ids[1];
+            faces[nf * 3 + 2] = ids[2];
+            ++nf;
+          }
+        }
+  }
+  *out_verts = verts;
+  *out_faces = faces;
+  *out_n_verts = nv;
+  return nf;
 }
 
 }  // extern "C"

@@ -65,6 +65,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--dense", type=int, default=8)
     ap.add_argument("--refine", type=int, default=9)
+    ap.add_argument("--method", default="cubes", choices=["cubes", "tetrahedra"])
     args = ap.parse_args()
 
     sdf = TimedSDF(make_sdf())
@@ -78,11 +79,12 @@ def main() -> None:
         sdf,
         dense_octree_depth=args.dense,
         hierarchical_octree_depth=args.refine,
+        method=args.method,
     )
     total = time.time() - t0
     tri_time = total - sdf.device_time
     print(
-        f"dense {args.dense} / refine {args.refine}: "
+        f"dense {args.dense} / refine {args.refine} [{args.method}]: "
         f"V={len(verts)} F={len(faces)}"
     )
     print(

@@ -3,8 +3,11 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from actionmesh_tpu.io.mesh import Mesh, load_glb, save_glb
+from actionmesh_tpu.ops import isosurface as iso
+from actionmesh_tpu.utils import native as nat_mod
 from actionmesh_tpu.ops.fps import farthest_point_sampling, sample_pc_grouped
 from actionmesh_tpu.ops.isosurface import (
     extract_geometry_dense,
@@ -212,3 +215,130 @@ class TestMeshOps:
         # normals roughly radial
         cos = np.sum(pts[:, :3] / radii[:, None] * pts[:, 3:], axis=1)
         assert (np.abs(cos) > 0.9).mean() > 0.95
+
+
+class TestMarchingCubes:
+    """The generated-table MC path (ops/mc_table.py + native backend)."""
+
+    def _sphere_cells(self, R=32, radius=1.0, extent=1.25):
+        ax = np.linspace(-extent, extent, R, dtype=np.float32)
+        gx, gy, gz = np.meshgrid(ax, ax, ax, indexing="ij")
+        pts = np.stack([gx, gy, gz], -1)
+        vals = (np.linalg.norm(pts.reshape(-1, 3), axis=-1) - radius).reshape(
+            R, R, R
+        )
+        corners = iso._CUBE_CORNERS
+        inside = vals < 0
+        ci8 = np.stack(
+            [inside[dx : R - 1 + dx, dy : R - 1 + dy, dz : R - 1 + dz]
+             for dx, dy, dz in corners], -1,
+        )
+        keep = ci8.any(-1) & ~ci8.all(-1)
+        ci, cj, ck = np.nonzero(keep)
+        base = np.stack([ci, cj, ck], -1)
+        idx = base[:, None, :] + corners[None]
+        flat = idx[..., 0] * R * R + idx[..., 1] * R + idx[..., 2]
+        return pts.reshape(-1, 3)[flat], vals.reshape(-1)[flat], flat
+
+    @staticmethod
+    def _check_watertight(V, F):
+        edges = {}
+        for f in F:
+            for k in range(3):
+                e = (int(f[k]), int(f[(k + 1) % 3]))
+                edges[e] = edges.get(e, 0) + 1
+        assert all(c == 1 for c in edges.values()), "duplicated directed edge"
+        assert all((b, a) in edges for (a, b) in edges), "boundary edge"
+        return len(edges) // 2
+
+    def test_sphere_watertight_euler_volume_radius(self):
+        cp, cv, cid = self._sphere_cells()
+        from actionmesh_tpu.ops.isosurface import marching_cubes
+
+        V, F = marching_cubes(cp, cv, cid, 0.0)
+        E = self._check_watertight(V, F)
+        assert len(V) - E + len(F) == 2  # genus 0
+        # consistent outward winding: signed volume ~ 4/3 pi r^3
+        v0, v1, v2 = V[F[:, 0]], V[F[:, 1]], V[F[:, 2]]
+        vol = np.sum(np.einsum("ij,ij->i", v0, np.cross(v1, v2))) / 6.0
+        np.testing.assert_allclose(vol, 4 / 3 * np.pi, rtol=0.01)
+        np.testing.assert_allclose(np.linalg.norm(V, axis=1), 1.0, atol=0.005)
+
+    def test_native_matches_numpy(self):
+        try:
+            nat_mod._load()
+        except Exception:
+            pytest.skip("native toolchain unavailable")
+        from actionmesh_tpu.ops.mc_table import marching_cubes_cells_numpy
+
+        cp, cv, cid = self._sphere_cells(R=20)
+        v_nat, f_nat = nat_mod.marching_cubes_cells(cp, cv, cid, 0.0)
+        v_np, f_np = marching_cubes_cells_numpy(cp, cv, cid, 0.0)
+        assert v_nat.shape == v_np.shape and f_nat.shape == f_np.shape
+        from scipy.spatial import cKDTree
+
+        d, perm = cKDTree(v_np).query(v_nat)
+        assert d.max() < 1e-4
+        fa = perm[f_nat]
+
+        def canon(f):
+            m = np.argmin(f, axis=1)
+            return set(
+                map(tuple, np.stack([np.roll(t, -s_) for t, s_ in zip(f, m)]))
+            )
+
+        assert canon(fa) == canon(f_np)
+
+    def test_fewer_faces_than_tets(self):
+        cp, cv, cid = self._sphere_cells(R=24)
+        from actionmesh_tpu.ops.isosurface import marching_cubes
+
+        _, f_mc = marching_cubes(cp, cv, cid, 0.0)
+        _, f_mt = iso.marching_tetrahedra(cp, cv, cid, 0.0)
+        assert len(f_mc) < 0.45 * len(f_mt)
+
+    def test_hierarchical_default_uses_cubes(self):
+        v, f = hierarchical_extract_geometry(
+            sphere_sdf, dense_octree_depth=4, hierarchical_octree_depth=6
+        )
+        v_t, f_t = hierarchical_extract_geometry(
+            sphere_sdf, dense_octree_depth=4, hierarchical_octree_depth=6,
+            method="tetrahedra",
+        )
+        assert len(f) < 0.45 * len(f_t)
+        np.testing.assert_allclose(
+            np.linalg.norm(v, axis=1), 0.6, atol=0.01
+        )
+        self._check_watertight(v, f)
+
+    def test_random_grids_watertight(self):
+        """Ambiguous configurations weld across cells on random fields."""
+        rng = np.random.default_rng(0)
+        R = 10
+        for _ in range(5):
+            vals = rng.normal(size=(R, R, R)).astype(np.float32)
+            # surface must not touch the boundary: pad outside-positive
+            vals[[0, -1], :, :] = 1.0
+            vals[:, [0, -1], :] = 1.0
+            vals[:, :, [0, -1]] = 1.0
+            ax = np.arange(R, dtype=np.float32)
+            gx, gy, gz = np.meshgrid(ax, ax, ax, indexing="ij")
+            pts = np.stack([gx, gy, gz], -1)
+            corners = iso._CUBE_CORNERS
+            inside = vals < 0
+            ci8 = np.stack(
+                [inside[dx : R - 1 + dx, dy : R - 1 + dy, dz : R - 1 + dz]
+                 for dx, dy, dz in corners], -1,
+            )
+            keep = ci8.any(-1) & ~ci8.all(-1)
+            ci, cj, ck = np.nonzero(keep)
+            base = np.stack([ci, cj, ck], -1)
+            idx = base[:, None, :] + corners[None]
+            flat = idx[..., 0] * R * R + idx[..., 1] * R + idx[..., 2]
+            from actionmesh_tpu.ops.mc_table import marching_cubes_cells_numpy
+
+            V, F = marching_cubes_cells_numpy(
+                pts.reshape(-1, 3)[flat], vals.reshape(-1)[flat], flat, 0.0
+            )
+            assert len(F) > 0
+            self._check_watertight(V, F)
