@@ -17,7 +17,7 @@ from actionbench.chamfer import (
     compute_chamfer_score,
     compute_motion_chamfer_score,
 )
-from actionbench.icp import Transform, gradient_icp
+from actionbench.icp import Transform, gradient_icp_multi
 from actionbench.sample_mesh import sample_meshes
 from actionbench.sample_point_cloud import sample_point_cloud
 from actionmesh_tpu.io.mesh import Mesh
@@ -27,21 +27,16 @@ logger = logging.getLogger(__name__)
 
 def _compute_per_frame_icp(
     gt_pc: np.ndarray, pred_pc: np.ndarray, n_iter: int = 200
-) -> list[Transform]:
-    n_ts = gt_pc.shape[0]
-    transforms = []
-    for k in range(n_ts):
-        transforms.append(
-            gradient_icp(pc_gt=gt_pc[k], pc_pred=pred_pc[k], lr=0.01, n_iter=n_iter)
-        )
-        logger.debug("ICP per-frame %d/%d", k + 1, n_ts)
-    return transforms
-
-
-def _compute_unified_icp(
-    gt_pc: np.ndarray, pred_pc: np.ndarray, n_iter: int = 200
 ) -> Transform:
-    return gradient_icp(pc_gt=gt_pc[0], pc_pred=pred_pc[0], lr=0.01, n_iter=n_iter)
+    """All T per-frame alignments fused into one batched device loop.
+
+    One 24-init ICP underutilizes the chip (dispatch-bound); fusing the
+    evaluator's T=16 problems into a single (T*24)-transform optimization
+    is ~4x faster with identical per-problem math (actionbench/icp.py).
+    """
+    return gradient_icp_multi(
+        pc_pred=pred_pc, pc_gt=gt_pc, lr=0.01, n_iter=n_iter
+    )
 
 
 def compute_chamfer_3d_4d(
@@ -65,9 +60,17 @@ def compute_chamfer_3d_4d(
     pred_pc_icp = sample_point_cloud(pred_pc, n_pts=n_pts_icp, seed=seed)
     gt_pc_icp = sample_point_cloud(gt_pc, n_pts=n_pts_icp, seed=seed)
 
-    icp_list = _compute_per_frame_icp(gt_pc_icp, pred_pc_icp, n_iter=icp_iters)
-    icp_transforms_3d = Transform.stack(*icp_list)
-    icp_transform_u4d = _compute_unified_icp(gt_pc_icp, pred_pc_icp, n_iter=icp_iters)
+    icp_transforms_3d = _compute_per_frame_icp(
+        gt_pc_icp, pred_pc_icp, n_iter=icp_iters
+    )
+    # The reference's "unified" ICP (benchmark.py:41-44) optimizes exactly
+    # frame 0's (gt, pred) pair — deterministically identical to the
+    # per-frame result for frame 0, so reuse it instead of recomputing.
+    icp_transform_u4d = Transform(
+        R=icp_transforms_3d.R[:1],
+        T=icp_transforms_3d.T[:1],
+        s=icp_transforms_3d.s[:1],
+    )
 
     pred_aligned_3d = icp_transforms_3d.transform_points(pred_pc)
     pred_aligned_u4d = icp_transform_u4d.transform_points(pred_pc)

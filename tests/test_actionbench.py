@@ -1,5 +1,6 @@
 """ActionBench metric tests: ICP recovery, chamfer correctness, e2e eval."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -167,3 +168,30 @@ class TestEvaluateDataset:
             n_pts_chamfer=2000,
         )
         assert results2.summary()["n_success"] == 1
+
+
+class TestNNArgmin:
+    """Pallas fused distance+argmin kernel (ops/nn_argmin.py)."""
+
+    def test_matches_bruteforce(self):
+        from actionmesh_tpu.ops.nn_argmin import nn_argmin
+
+        rng = np.random.default_rng(5)
+        x = rng.normal(size=(2, 300, 3)).astype(np.float32)
+        y = rng.normal(size=(2, 450, 3)).astype(np.float32)
+        idx = np.asarray(nn_argmin(jnp.asarray(x), jnp.asarray(y)))
+        for r in range(2):
+            d = ((x[r][:, None] - y[r][None]) ** 2).sum(-1)
+            np.testing.assert_array_equal(idx[r], np.argmin(d, axis=1))
+
+    def test_matches_icp_scan_path(self):
+        """Kernel and the XLA scan fallback agree on the ICP shapes."""
+        from actionmesh_tpu.ops.nn_argmin import nn_argmin
+        from actionbench.icp import _nn_indices
+
+        rng = np.random.default_rng(6)
+        x = jnp.asarray(rng.normal(size=(4, 512, 3)).astype(np.float32))
+        y = jnp.asarray(rng.normal(size=(4, 384, 3)).astype(np.float32))
+        a = np.asarray(nn_argmin(x, y))
+        b = np.asarray(_nn_indices(x, y, chunk=128))
+        np.testing.assert_array_equal(a, b)
