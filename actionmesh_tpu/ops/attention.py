@@ -136,14 +136,55 @@ def chunked_attention(
     return out.astype(orig_dtype)
 
 
+def ring_attention_local(q, k, v, scale, kv_mask, axis_name, sp):
+    """Sequence-parallel flash attention inside shard_map (ring schedule).
+
+    Each device holds S/sp query rows and S/sp KV rows. KV shards rotate
+    around the ``axis_name`` ring via ppermute (riding ICI neighbor links);
+    per step the local flash kernel produces a partial result with its
+    online-softmax stats (m, l), and partials merge with the standard
+    log-sum-exp combination — mathematically identical to full attention.
+    """
+    import jax
+
+    from actionmesh_tpu.ops.flash_attention import flash_attention_pipelined
+
+    def partial_fn(kc, vc, mc):
+        return flash_attention_pipelined(
+            q, kc, vc, scale=scale, kv_mask=mc, return_stats=True
+        )
+
+    out, (m, l) = partial_fn(k, v, kv_mask)
+    num = out.astype(jnp.float32) * l[..., None]
+    perm = [(j, (j + 1) % sp) for j in range(sp)]
+    kc, vc, mc = k, v, kv_mask
+    for _ in range(sp - 1):
+        kc = jax.lax.ppermute(kc, axis_name, perm)
+        vc = jax.lax.ppermute(vc, axis_name, perm)
+        if mc is not None:
+            mc = jax.lax.ppermute(mc, axis_name, perm)
+        out_i, (m_i, l_i) = partial_fn(kc, vc, mc)
+        m_new = jnp.maximum(m, m_i)
+        alpha = jnp.exp(m - m_new)
+        beta = jnp.exp(m_i - m_new)
+        num = num * alpha[..., None] + out_i.astype(jnp.float32) * (
+            l_i * beta
+        )[..., None]
+        l = l * alpha + l_i * beta
+        m = m_new
+    return (num / jnp.maximum(l[..., None], 1e-30)).astype(q.dtype)
+
+
 def _flash_sharded(q, k, v, scale, kv_mask, mesh):
     """Run the Pallas flash kernel per-shard under shard_map.
 
     GSPMD cannot partition a ``pallas_call``, so under a device mesh the
-    kernel is explicitly mapped: batch (the CFG branch axis) over ``dp`` and
-    attention heads over ``tp``. Head-sharded attention needs no collectives
-    — the softmax is per (batch, head, row) — and the surrounding Megatron
-    col->row projections keep their GSPMD-inserted reduces unchanged.
+    kernel is explicitly mapped: batch (the CFG branch axis) over ``dp``,
+    attention heads over ``tp``, and — when the mesh has an ``sp`` axis —
+    the sequence over ``sp`` with a ring schedule (ring_attention_local).
+    Head-sharded attention needs no collectives — the softmax is per
+    (batch, head, row) — and the surrounding Megatron col->row projections
+    keep their GSPMD-inserted reduces unchanged.
 
     Axes that don't divide evenly stay replicated on that mesh axis (e.g.
     Stage II's B=1 under dp=2 replicates the batch).
@@ -153,10 +194,34 @@ def _flash_sharded(q, k, v, scale, kv_mask, mesh):
     from actionmesh_tpu.ops.flash_attention import flash_attention_pipelined
 
     axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
-    B, H = q.shape[0], q.shape[1]
+    B, H, Sq = q.shape[0], q.shape[1], q.shape[2]
+    Sk = k.shape[2]
     b_ax = "dp" if axis_sizes.get("dp", 1) > 1 and B % axis_sizes["dp"] == 0 else None
     h_ax = "tp" if axis_sizes.get("tp", 1) > 1 and H % axis_sizes["tp"] == 0 else None
-    qkv_spec = P(b_ax, h_ax, None, None)
+    sp = axis_sizes.get("sp", 1)
+    s_ax = (
+        "sp"
+        if sp > 1 and Sq % sp == 0 and Sk % sp == 0 and Sq == Sk
+        else None
+    )
+    qkv_spec = P(b_ax, h_ax, s_ax, None)
+    mask_spec = P(b_ax, s_ax)
+
+    if s_ax is not None:
+        fn = shard_map(
+            lambda q_, k_, v_, m_: ring_attention_local(
+                q_, k_, v_, scale, m_, "sp", sp
+            ),
+            mesh=mesh,
+            in_specs=(qkv_spec, qkv_spec, qkv_spec, mask_spec),
+            out_specs=qkv_spec,
+            check_rep=False,
+        )
+        return fn(
+            q, k, v,
+            kv_mask if kv_mask is not None
+            else jnp.ones((B, Sk), jnp.int32),
+        )
 
     if kv_mask is None:
         fn = shard_map(

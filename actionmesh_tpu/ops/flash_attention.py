@@ -39,9 +39,13 @@ NEG_INF = -1e30
 
 
 def _flash_kernel(
-    q_ref, k_ref, v_ref, mask_ref, o_ref, acc_ref, m_ref, l_ref,
-    *, scale: float, mask_mode: str,
+    q_ref, k_ref, v_ref, mask_ref, o_ref, *rest,
+    scale: float, mask_mode: str, with_stats: bool = False,
 ):
+    if with_stats:
+        m_out_ref, l_out_ref, acc_ref, m_ref, l_ref = rest
+    else:
+        acc_ref, m_ref, l_ref = rest
     k_idx = pl.program_id(3)
     n_k = pl.num_programs(3)
 
@@ -91,6 +95,13 @@ def _flash_kernel(
     def _finalize():
         l = jnp.maximum(l_ref[:, :1], 1e-30)
         o_ref[0, 0] = (acc_ref[:] / l).astype(o_ref.dtype)
+        if with_stats:
+            m_out_ref[0, 0] = jnp.broadcast_to(
+                jnp.transpose(m_ref[:, :1], (1, 0)), m_out_ref[0, 0].shape
+            )
+            l_out_ref[0, 0] = jnp.broadcast_to(
+                jnp.transpose(l_ref[:, :1], (1, 0)), l_out_ref[0, 0].shape
+            )
 
 
 def _pad_to(x: jnp.ndarray, axis: int, multiple: int, value=0.0) -> jnp.ndarray:
@@ -107,9 +118,14 @@ def _pad_to(x: jnp.ndarray, axis: int, multiple: int, value=0.0) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def _flash_kernel_pipelined(
-    q_ref, k_ref, v_ref, mask_ref, o_ref, acc_ref, m_ref, l_ref,
-    *, scale: float, mask_mode: str, unroll: int, block_k: int,
+    q_ref, k_ref, v_ref, mask_ref, o_ref, *rest,
+    scale: float, mask_mode: str, unroll: int, block_k: int,
+    with_stats: bool = False,
 ):
+    if with_stats:
+        m_out_ref, l_out_ref, acc_ref, m_ref, l_ref = rest
+    else:
+        acc_ref, m_ref, l_ref = rest
     """Online-softmax flash step over ``unroll`` KV sub-blocks.
 
     The next sub-block's QK^T dot (MXU) is issued *before* the current
@@ -182,11 +198,21 @@ def _flash_kernel_pipelined(
     def _finalize():
         l = jnp.maximum(l_ref[:, :1], 1e-30)
         o_ref[0, 0] = (acc_ref[:] / l).astype(o_ref.dtype)
+        if with_stats:
+            # (bq, 1) sublane vectors -> 8-sublane lane-vector output tiles
+            m_out_ref[0, 0] = jnp.broadcast_to(
+                jnp.transpose(m_ref[:, :1], (1, 0)), m_out_ref[0, 0].shape
+            )
+            l_out_ref[0, 0] = jnp.broadcast_to(
+                jnp.transpose(l_ref[:, :1], (1, 0)), l_out_ref[0, 0].shape
+            )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "block_q", "block_k", "unroll", "interpret"),
+    static_argnames=(
+        "scale", "block_q", "block_k", "unroll", "interpret", "return_stats"
+    ),
 )
 def flash_attention_pipelined(
     q: jnp.ndarray,
@@ -198,12 +224,18 @@ def flash_attention_pipelined(
     block_k: int = 1024,
     unroll: int = 3,
     interpret: Optional[bool] = None,
-) -> jnp.ndarray:
+    return_stats: bool = False,
+):
     """Flash attention with ``unroll`` software-pipelined KV sub-blocks.
 
     Identical math to ``flash_attention``; each grid step fetches
     ``unroll * block_k`` KV rows and interleaves MXU dots with VPU softmax
     work across sub-blocks.
+
+    With ``return_stats=True`` also returns the online-softmax statistics
+    ``(m, l)`` per query row ((B, H, Sq) fp32: running max and normalizer),
+    enabling cross-shard combination of partial attention results — the
+    building block of the ring (sequence-parallel) path in ops/attention.py.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -227,6 +259,7 @@ def flash_attention_pipelined(
             block_q=min(2176, _round_up(Sq, 128)),
             block_k=min(1024, _round_up(Sk, 128)),
             interpret=interpret,
+            return_stats=return_stats,
         )
 
     k_pad = (-Sk) % fetch_k
@@ -245,11 +278,28 @@ def flash_attention_pipelined(
     n_q = qp.shape[2] // block_q
     n_k = kp.shape[2] // fetch_k
 
+    out_specs = pl.BlockSpec(
+        (1, 1, block_q, D),
+        lambda b, h, qi, ki: (b, h, qi, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct(qp.shape, q.dtype)
+    if return_stats:
+        stats_spec = pl.BlockSpec(
+            (1, 1, 8, block_q),
+            lambda b, h, qi, ki: (b, h, 0, qi),
+            memory_space=pltpu.VMEM,
+        )
+        stats_shape = jax.ShapeDtypeStruct((B, H, 8, qp.shape[2]), jnp.float32)
+        out_specs = (out_specs, stats_spec, stats_spec)
+        out_shape = (out_shape, stats_shape, stats_shape)
+
     grid = (B, H, n_q, n_k)
     out = pl.pallas_call(
         functools.partial(
             _flash_kernel_pipelined,
             scale=scale, mask_mode=mask_mode, unroll=unroll, block_k=block_k,
+            with_stats=return_stats,
         ),
         grid=grid,
         in_specs=[
@@ -274,12 +324,8 @@ def flash_attention_pipelined(
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, block_q, D),
-            lambda b, h, qi, ki: (b, h, qi, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct(qp.shape, q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((block_q, D), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -298,6 +344,9 @@ def flash_attention_pipelined(
         ),
         interpret=interpret,
     )(qp, kp, vp, maskp)
+    if return_stats:
+        o, m, l = out
+        return o[:, :, :Sq], (m[:, :, 0, :Sq], l[:, :, 0, :Sq])
     return out[:, :, :Sq]
 
 
@@ -486,7 +535,8 @@ def flash_attention_fused(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret")
+    jax.jit,
+    static_argnames=("scale", "block_q", "block_k", "interpret", "return_stats"),
 )
 def flash_attention(
     q: jnp.ndarray,
@@ -497,8 +547,11 @@ def flash_attention(
     block_q: int = 1024,
     block_k: int = 1024,
     interpret: Optional[bool] = None,
-) -> jnp.ndarray:
-    """Fused flash attention. Returns (B, H, Sq, D) in q.dtype.
+    return_stats: bool = False,
+):
+    """Fused flash attention. Returns (B, H, Sq, D) in q.dtype; with
+    ``return_stats=True`` also the per-row online-softmax (m, l) — see
+    flash_attention_pipelined.
 
     ``interpret=None`` auto-selects Pallas interpreter mode off-TPU (used by
     the virtual-CPU-mesh tests and the driver's multichip dryrun, so the
@@ -535,9 +588,28 @@ def flash_attention(
     n_q = qp.shape[2] // block_q
     n_k = kp.shape[2] // block_k
 
+    out_specs = pl.BlockSpec(
+        (1, 1, block_q, D),
+        lambda b, h, qi, ki: (b, h, qi, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct(qp.shape, q.dtype)
+    if return_stats:
+        stats_spec = pl.BlockSpec(
+            (1, 1, 8, block_q),
+            lambda b, h, qi, ki: (b, h, 0, qi),
+            memory_space=pltpu.VMEM,
+        )
+        stats_shape = jax.ShapeDtypeStruct((B, H, 8, qp.shape[2]), jnp.float32)
+        out_specs = (out_specs, stats_spec, stats_spec)
+        out_shape = (out_shape, stats_shape, stats_shape)
+
     grid = (B, H, n_q, n_k)
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, mask_mode=mask_mode),
+        functools.partial(
+            _flash_kernel, scale=scale, mask_mode=mask_mode,
+            with_stats=return_stats,
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -561,12 +633,8 @@ def flash_attention(
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, block_q, D),
-            lambda b, h, qi, ki: (b, h, qi, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct(qp.shape, q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((block_q, D), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -585,4 +653,7 @@ def flash_attention(
         ),
         interpret=interpret,
     )(qp, kp, vp, maskp)
+    if return_stats:
+        o, m, l = out
+        return o[:, :, :Sq], (m[:, :, 0, :Sq], l[:, :, 0, :Sq])
     return out[:, :, :Sq]

@@ -28,24 +28,38 @@ def make_mesh(
     n_devices: Optional[int] = None,
     dp: Optional[int] = None,
     tp: Optional[int] = None,
+    sp: Optional[int] = None,
     devices=None,
 ) -> Mesh:
-    """Create a (dp, tp) mesh. Defaults: dp=2 (CFG branches), rest tp."""
+    """Create a (dp, tp[, sp]) mesh. Defaults: dp=2 (CFG branches), rest tp.
+
+    ``sp`` > 1 adds a sequence-parallel axis: the flash attention path then
+    shards the inflated token sequence and runs a ring schedule
+    (ops/attention.ring_attention_local) with KV ppermute over ICI.
+    """
     if devices is None:
         devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
     devices = devices[:n_devices]
+    sp_size = 1 if sp is None else sp
+    inner = n_devices // sp_size
+    assert inner * sp_size == n_devices, "sp must divide n_devices"
     if dp is None and tp is None:
-        dp = 2 if n_devices % 2 == 0 and n_devices > 1 else 1
-        tp = n_devices // dp
+        dp = 2 if inner % 2 == 0 and inner > 1 else 1
+        tp = inner // dp
     elif dp is None:
-        dp = n_devices // tp
+        dp = inner // tp
     elif tp is None:
-        tp = n_devices // dp
-    assert dp * tp == n_devices, f"dp*tp must equal n_devices ({n_devices})"
-    dev_array = np.asarray(devices).reshape(dp, tp)
-    return Mesh(dev_array, axis_names=("dp", "tp"))
+        tp = inner // dp
+    assert dp * tp * sp_size == n_devices, (
+        f"dp*tp*sp must equal n_devices ({n_devices})"
+    )
+    if sp is None:
+        dev_array = np.asarray(devices).reshape(dp, tp)
+        return Mesh(dev_array, axis_names=("dp", "tp"))
+    dev_array = np.asarray(devices).reshape(dp, tp, sp_size)
+    return Mesh(dev_array, axis_names=("dp", "tp", "sp"))
 
 
 def _attention_spec(mesh: Mesh) -> dict:

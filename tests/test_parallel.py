@@ -191,3 +191,72 @@ def test_autoencoder_shardings_cover_tree():
     mesh = make_mesh(8)
     shardings = autoencoder_param_shardings(params, mesh)
     jax.tree.map(lambda p, s: None, params, shardings)
+
+
+def test_sp_ring_flash_matches_unsharded():
+    """Sequence-parallel ring attention == full attention.
+
+    Mesh (dp=2, tp=2, sp=2): the sequence shards over sp; KV shards rotate
+    via ppermute and partials merge through the kernel's online-softmax
+    stats (ops/attention.ring_attention_local).
+    """
+    from actionmesh_tpu.ops.attention import dot_product_attention
+
+    B, H, S, D = 2, 4, 256, 16  # S divisible by sp
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(11), 3)
+    q = jax.random.normal(kq, (B, H, S, D), jnp.float32)
+    k = jax.random.normal(kk, (B, H, S, D), jnp.float32)
+    v = jax.random.normal(kv, (B, H, S, D), jnp.float32)
+
+    ref = dot_product_attention(q, k, v, impl="chunked")
+    mesh = make_mesh(8, dp=2, tp=2, sp=2)
+    assert mesh.devices.shape == (2, 2, 2)
+    out = dot_product_attention(q, k, v, impl="flash", mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_sp_ring_flash_with_kv_mask():
+    from actionmesh_tpu.ops.attention import dot_product_attention
+
+    B, H, S, D = 2, 2, 256, 16
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(12), 3)
+    q = jax.random.normal(kq, (B, H, S, D), jnp.float32)
+    k = jax.random.normal(kk, (B, H, S, D), jnp.float32)
+    v = jax.random.normal(kv, (B, H, S, D), jnp.float32)
+    # mask crossing the shard boundary: validity differs per ring step
+    kv_mask = jnp.arange(S)[None, :] < jnp.array([[200], [90]])
+
+    ref = dot_product_attention(q, k, v, kv_mask=kv_mask, impl="chunked")
+    mesh = make_mesh(8, dp=2, tp=1, sp=4)
+    out = dot_product_attention(
+        q, k, v, kv_mask=kv_mask, impl="flash", mesh=mesh
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_sp_denoise_window_matches_unsharded():
+    """Full denoise step with dp x sp sharding == unsharded (ring path)."""
+    params = init_denoiser(jax.random.PRNGKey(0), CFG)
+    guidance, init_latent, context, mask, framestep, ts, dist = _make_inputs()
+
+    ref = denoise_window(
+        params, CFG, guidance, init_latent, context, mask, framestep,
+        jnp.asarray(ts), jnp.asarray(dist), is_additive=True,
+        attn_impl="chunked",
+    )
+    mesh = make_mesh(8, dp=2, tp=2, sp=2)
+    # inflated seq = T*(N+1) = 4*17 = 68 — not divisible by sp=2*... the
+    # dispatcher must fall back to non-sp sharding transparently; use a
+    # config whose sequence divides: N+1=17, T=4 -> 68 = 2*34 ok for sp=2.
+    out = denoise_window(
+        params, CFG, guidance, init_latent, context, mask, framestep,
+        jnp.asarray(ts), jnp.asarray(dist), is_additive=True,
+        attn_impl="flash", mesh=mesh,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
