@@ -203,15 +203,29 @@ def attention(
     k = k.reshape(B, -1, heads, dim_head).transpose(0, 2, 1, 3)
     v = v.reshape(B, -1, heads, dim_head).transpose(0, 2, 1, 3)
 
-    if "norm_q" in params:
-        q = rms_norm(params["norm_q"], q)
-    if "norm_k" in params:
-        k = rms_norm(params["norm_k"], k)
+    has_norm = "norm_q" in params
+    if (has_norm or freqs_rot is not None) and (
+        freqs_rot is None or rope_layout == "half"
+    ):
+        # Single fused VMEM pass per tensor (ops/rope_norm.py) — the
+        # separate-XLA-op path below costs ~23 ms/block at Stage-I shapes.
+        from actionmesh_tpu.ops.rope_norm import fused_rms_rope
 
-    if freqs_rot is not None:
-        cos, sin = freqs_rot
-        q = apply_rotary_embedding(q, cos, sin, layout=rope_layout)
-        k = apply_rotary_embedding(k, cos, sin, layout=rope_layout)
+        cos, sin = freqs_rot if freqs_rot is not None else (None, None)
+        q = fused_rms_rope(
+            q, params["norm_q"]["scale"] if has_norm else None, cos, sin
+        )
+        k = fused_rms_rope(
+            k, params["norm_k"]["scale"] if has_norm else None, cos, sin
+        )
+    else:
+        if has_norm:
+            q = rms_norm(params["norm_q"], q)
+            k = rms_norm(params["norm_k"], k)
+        if freqs_rot is not None:
+            cos, sin = freqs_rot
+            q = apply_rotary_embedding(q, cos, sin, layout=rope_layout)
+            k = apply_rotary_embedding(k, cos, sin, layout=rope_layout)
 
     out = dot_product_attention(q, k, v, kv_mask=kv_mask, impl=attn_impl, mesh=mesh)
     out = out.transpose(0, 2, 1, 3).reshape(B, S, heads * dim_head)

@@ -1,0 +1,171 @@
+"""Fused qk rms-norm + RoPE as a single Pallas VMEM pass.
+
+The reference applies per-head rms qk-norm and rotary embeddings as separate
+ops before SDPA (reference: actionmesh/model/utils/attention_processor.py:
+121-130, rotary_embedding.py:72-124). As plain XLA ops on TPU these cost
+~23 ms per Stage-I block at production shapes (fp32 intermediates of the
+(B, H, 33k, 128) tensors materialize in HBM between the norm and the
+rotation). This kernel reads the activation once, does norm + rotation in
+float32 in VMEM, and writes the result once — memory-bound at HBM speed.
+
+Only the ``half`` RoPE channel layout is supported (contiguous half-slice
+rotation, no lane shuffles); both production models use it (the checkpoint
+converter permutes projection columns accordingly, see ops/rotary.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _norm_rope_kernel(
+    x_ref, scale_ref, cos_ref, sin_ref, o_ref,
+    *, eps: float, with_norm: bool, with_rope: bool,
+):
+    x = x_ref[0, 0].astype(jnp.float32)  # (block_s, D)
+    if with_norm:
+        var = jnp.mean(x * x, axis=-1, keepdims=True)
+        x = x * jax.lax.rsqrt(var + eps)
+        x = x * scale_ref[0].astype(jnp.float32)
+    if with_rope:
+        cos = cos_ref[0]
+        sin = sin_ref[0]
+        h = x.shape[-1] // 2
+        rot = jnp.concatenate([-x[:, h:], x[:, :h]], axis=-1)
+        x = x * cos + rot * sin
+    o_ref[0, 0] = x.astype(o_ref.dtype)
+
+
+def _pure_impl(eps, with_norm, with_rope, x, scale, cos, sin):
+    """Pure-XLA reference of the fused op (drives the custom VJP)."""
+    xf = x.astype(jnp.float32)
+    if with_norm:
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        xf = xf * jax.lax.rsqrt(var + eps) * scale.astype(jnp.float32)
+    if with_rope:
+        cos_b = cos[:, None]
+        sin_b = sin[:, None]
+        h = xf.shape[-1] // 2
+        rot = jnp.concatenate([-xf[..., h:], xf[..., :h]], axis=-1)
+        xf = xf * cos_b + rot * sin_b
+    return xf.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _fused(eps, with_norm, with_rope, block_s, interpret, x, scale, cos, sin):
+    B, H, S, D = x.shape
+    block_s = min(block_s, -(-S // 8) * 8)  # sublane-aligned
+    pad = (-S) % block_s
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        if with_rope:
+            cos = jnp.pad(cos, ((0, 0), (0, pad), (0, 0)))
+            sin = jnp.pad(sin, ((0, 0), (0, pad), (0, 0)))
+    n_s = x.shape[2] // block_s
+
+    cb = cos.shape[0]  # 1 (shared tables) or B (per-batch tables)
+    tab_block = block_s if with_rope else 8
+    # Heads iterate innermost so the (block_s, D) fp32 tables stay resident
+    # across H consecutive grid steps instead of re-fetching per step (the
+    # tables are the dominant HBM traffic: fp32 vs the bf16 activations).
+    tab_idx = (
+        (lambda b, si, h: (b % cb, si, 0))
+        if with_rope
+        else (lambda b, si, h: (0, 0, 0))
+    )
+
+    out = pl.pallas_call(
+        functools.partial(
+            _norm_rope_kernel, eps=eps, with_norm=with_norm,
+            with_rope=with_rope,
+        ),
+        grid=(B, n_s, H),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, block_s, D),
+                lambda b, si, h: (b, h, si, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, D), lambda b, si, h: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, tab_block, D), tab_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tab_block, D), tab_idx, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_s, D),
+            lambda b, si, h: (b, h, si, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        interpret=interpret,
+    )(x, scale[None], cos, sin)
+    return out[:, :, :S]
+
+
+def _fused_fwd(eps, with_norm, with_rope, block_s, interpret, x, scale, cos, sin):
+    out = _fused(eps, with_norm, with_rope, block_s, interpret, x, scale, cos, sin)
+    return out, (x, scale, cos, sin)
+
+
+def _fused_bwd(eps, with_norm, with_rope, block_s, interpret, res, g):
+    x, scale, cos, sin = res
+    _, vjp = jax.vjp(
+        functools.partial(_pure_impl, eps, with_norm, with_rope),
+        x, scale, cos, sin,
+    )
+    return vjp(g)
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("eps", "block_s", "interpret"),
+)
+def fused_rms_rope(
+    x: jnp.ndarray,
+    scale: Optional[jnp.ndarray],
+    cos: Optional[jnp.ndarray],
+    sin: Optional[jnp.ndarray],
+    eps: float = 1e-6,
+    block_s: int = 2048,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """rms_norm(x) then half-layout RoPE, fused; either step optional.
+
+    Args:
+        x: (B, H, S, D) activations (any float dtype; math is fp32).
+        scale: (D,) rms-norm scale, or None to skip the norm.
+        cos/sin: (S, D) or (B, S, D) float32 half-layout tables, or None
+            to skip the rotation.
+
+    Returns x.dtype, same shape. Matches
+    ``apply_rotary_embedding(rms_norm(x), cos, sin, layout="half")``;
+    differentiable via a custom VJP over that pure-XLA composition.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    with_norm = scale is not None
+    with_rope = cos is not None
+    if not (with_norm or with_rope):
+        return x
+
+    D = x.shape[-1]
+    # Dummies keep the pallas_call arity fixed; blocks are tiny when unused.
+    if scale is None:
+        scale = jnp.zeros((D,), jnp.float32)
+    if cos is None:
+        cos = jnp.zeros((1, 8, D), jnp.float32)
+        sin = jnp.zeros((1, 8, D), jnp.float32)
+    elif cos.ndim == 2:
+        cos = cos[None]
+        sin = sin[None]
+    return _fused(eps, with_norm, with_rope, block_s, interpret, x, scale, cos, sin)

@@ -146,3 +146,64 @@ def test_rope_half_layout_equivalence():
     np.testing.assert_allclose(
         np.asarray(scores_half), np.asarray(scores_ref), atol=1e-5
     )
+
+
+def test_fused_rms_rope_matches_separate_ops():
+    """ops/rope_norm.py fused kernel == rms_norm -> apply_rotary_embedding.
+
+    Covers all four mode combinations plus non-divisible S (padding path),
+    batched tables, and bf16 activations.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from actionmesh_tpu.models.layers import rms_norm
+    from actionmesh_tpu.ops.rope_norm import fused_rms_rope
+    from actionmesh_tpu.ops.rotary import (
+        apply_rotary_embedding,
+        compute_rotary_embeddings,
+    )
+
+    B, H, S, D = 2, 3, 100, 128  # S % 8 != 0 exercises the pad/slice path
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, H, S, D), jnp.float32)
+    scale = jax.random.normal(jax.random.PRNGKey(1), (D,)) * 0.1 + 1.0
+    pos = jax.random.uniform(jax.random.PRNGKey(2), (S,)) * 10
+    cos, sin = compute_rotary_embeddings(D, pos, layout="half")
+    cosb = jnp.stack([cos, cos * 0.5])
+    sinb = jnp.stack([sin, sin * 0.5])
+
+    ref = apply_rotary_embedding(
+        rms_norm({"scale": scale}, x), cos, sin, layout="half"
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused_rms_rope(x, scale, cos, sin)), np.asarray(ref),
+        rtol=2e-6, atol=2e-6,
+    )
+
+    ref_b = apply_rotary_embedding(
+        rms_norm({"scale": scale}, x), cosb, sinb, layout="half"
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused_rms_rope(x, scale, cosb, sinb)), np.asarray(ref_b),
+        rtol=2e-6, atol=2e-6,
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(fused_rms_rope(x, scale, None, None)),
+        np.asarray(rms_norm({"scale": scale}, x)), rtol=2e-6, atol=2e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused_rms_rope(x, None, cos, sin)),
+        np.asarray(apply_rotary_embedding(x, cos, sin, layout="half")),
+        rtol=2e-6, atol=2e-6,
+    )
+
+    xb = x.astype(jnp.bfloat16)
+    ref16 = apply_rotary_embedding(
+        rms_norm({"scale": scale}, xb), cos, sin, layout="half"
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused_rms_rope(xb, scale, cos, sin), dtype=np.float32),
+        np.asarray(ref16, dtype=np.float32), rtol=2e-2, atol=2e-2,
+    )
