@@ -518,7 +518,14 @@ class ActionMeshPipeline:
         if anchor_idx is not None:
             self.cfg.anchor_idx = anchor_idx
 
-        # -- Preprocess: background matting (skipped if alpha valid) + crop
+        # -- Preprocess: background matting (skipped if alpha valid) + crop.
+        # Work on a shallow copy: the reference mutates the caller's input
+        # in place (reference: actionmesh/pipeline.py:651-656), which makes
+        # a second __call__ on the same object fail (preprocessed frames
+        # lose their alpha). Copying the frame list keeps calls idempotent.
+        input = ActionMeshInput(
+            frames=list(input.frames), timesteps=input.timesteps.copy()
+        )
         input.frames = self.background_removal.process_images(input.frames)
         input.frames = self.image_process.process_images(input.frames)
 

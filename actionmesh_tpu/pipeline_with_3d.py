@@ -111,6 +111,10 @@ class ActionMeshPipelineWithMeshInput(ActionMeshPipeline):
         if anchor_idx is not None:
             self.cfg.anchor_idx = anchor_idx
 
+        # Shallow-copy so repeated calls stay idempotent (see pipeline.py).
+        input = ActionMeshInput(
+            frames=list(input.frames), timesteps=input.timesteps.copy()
+        )
         input.frames = self.background_removal.process_images(input.frames)
         input.frames = self.image_process.process_images(input.frames)
 

@@ -156,3 +156,23 @@ def test_save_load_native_checkpoint(tiny_pipeline, tmp_path):
         orig,
         tiny_pipeline.denoiser_params,
     )
+
+
+def test_pipeline_call_is_idempotent_on_input(tiny_pipeline):
+    """Calling the pipeline twice with the SAME input object works.
+
+    The reference mutates input.frames in place during preprocessing
+    (reference: actionmesh/pipeline.py:651-656), so a second call sees
+    composited RGB frames without alpha and fails. Our __call__ shallow-
+    copies the input; the caller's frames keep their alpha channel.
+    """
+    frames = make_frames(16, seed=3)
+    input = ActionMeshInput(
+        frames=frames, timesteps=np.arange(16, dtype=np.float32)
+    )
+    m1 = tiny_pipeline(input, seed=44)
+    assert input.frames[0].mode == "RGBA", "caller's frames must be untouched"
+    m2 = tiny_pipeline(input, seed=44)
+    assert len(m1) == len(m2)
+    for a, b in zip(m1, m2):
+        np.testing.assert_array_equal(a.vertices, b.vertices)
