@@ -132,10 +132,12 @@ def _perturb_noise(meshes, rng, sigma):
     ]
 
 
-def build_dataset(out: Path, n_frames: int, n_pts_gt: int = 50_000) -> list[str]:
+def build_dataset(
+    out: Path, n_frames: int, n_pts_gt: int = 50_000, per_kind: int = 2
+) -> list[str]:
     uids = []
     for i, (kind, perturb) in enumerate(PERTURBATIONS.items()):
-        for rep in range(2):
+        for rep in range(per_kind):
             uid = f"{kind}_{rep}"
             seed = 1000 * i + rep
             meshes = animated_mesh_sequence(seed, n_frames)
@@ -158,12 +160,14 @@ def main() -> None:
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--icp-iters", type=int, default=200)
     ap.add_argument("--skip-build", action="store_true")
+    ap.add_argument("--per-kind", type=int, default=2,
+                    help="samples per perturbation class")
     args = ap.parse_args()
 
     out = Path(args.out)
     t0 = time.time()
     if not args.skip_build:
-        uids = build_dataset(out, args.frames)
+        uids = build_dataset(out, args.frames, per_kind=args.per_kind)
         print(f"built {len(uids)} samples in {time.time() - t0:.0f}s")
 
     from actionbench.evaluate_dataset import evaluate_dataset
