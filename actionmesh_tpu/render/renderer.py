@@ -182,6 +182,35 @@ class Renderer:
         first[1:] = sorted_idx[1:] != sorted_idx[:-1]
         return order[first]
 
+    def _visibility(self, px, py, z, faces, size):
+        """Winning (flat_idx, bary, fid) per covered pixel.
+
+        Prefers the C++ z-buffer scan (native/actionmesh_native.cpp
+        rasterize_zbuffer — the counterpart of the reference's pytorch3d
+        CUDA rasterizer, ~2 orders faster than the numpy path on this
+        single-core host); falls back to the vectorized numpy bucket
+        rasterizer + sort-based depth test when the native library is
+        unavailable.
+        """
+        try:
+            from actionmesh_tpu.utils.native import rasterize_zbuffer
+
+            win_fid, win_bary = rasterize_zbuffer(
+                px, py, z, faces, size, near=_NEAR
+            )
+            covered = win_fid >= 0
+            if not covered.any():
+                return None
+            flat_idx = np.nonzero(covered)[0]
+            return flat_idx, win_bary[covered], win_fid[covered].astype(np.int64)
+        except Exception:  # pragma: no cover - toolchain-less hosts
+            samples = self._raster_samples(px, py, z, faces, size)
+            if samples is None:
+                return None
+            flat_idx, depth, bary, fid = samples
+            win = self._depth_test(flat_idx, depth)
+            return flat_idx[win], bary[win], fid[win]
+
     # -- public API ---------------------------------------------------------
 
     def render(self, mesh: Mesh, camera: dict) -> np.ndarray:
@@ -199,13 +228,11 @@ class Renderer:
         vn = vertex_normals(mesh.vertices, mesh.faces)
 
         img = np.tile(self.background, (size * size, 1)).astype(np.float32)
-        samples = self._raster_samples(
+        samples = self._visibility(
             px.astype(np.float32), py.astype(np.float32), z, mesh.faces, size
         )
         if samples is not None:
-            flat_idx, depth, bary, fid = samples
-            win = self._depth_test(flat_idx, depth)
-            flat_idx, bary, fid = flat_idx[win], bary[win], fid[win]
+            flat_idx, bary, fid = samples
 
             # interpolate vertex normals at the winning samples
             n_tri = vn[mesh.faces[fid]]  # (M, 3, 3)

@@ -82,6 +82,14 @@ def _load() -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int64),
     ]
+    lib.rasterize_zbuffer.restype = None
+    lib.rasterize_zbuffer.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_float,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+    ]
     _lib = lib
     return lib
 
@@ -289,3 +297,38 @@ def grid_cluster_simplify(
         ctypes.byref(out_nv),
     )
     return out_v[: out_nv.value].copy(), out_f[:nf].copy()
+
+
+def rasterize_zbuffer(
+    px: np.ndarray,
+    py: np.ndarray,
+    z: np.ndarray,
+    faces: np.ndarray,
+    size: int,
+    near: float = 1e-4,
+) -> tuple[np.ndarray, np.ndarray]:
+    """C++ z-buffer visibility pass for the preview renderer.
+
+    Args: screen-space xy + camera depth per vertex (V,), faces (F, 3),
+    supersampled image size. Returns (win_fid (size*size,) int32 with -1
+    for background, win_bary (size*size, 3) float32 perspective-correct
+    barycentrics of the winning face sample).
+    """
+    lib = _load()
+    px = np.ascontiguousarray(px, np.float32)
+    py = np.ascontiguousarray(py, np.float32)
+    z = np.ascontiguousarray(z, np.float32)
+    f = np.ascontiguousarray(faces, np.int32)
+    win_fid = np.empty(size * size, np.int32)
+    win_bary = np.empty((size * size, 3), np.float32)
+    lib.rasterize_zbuffer(
+        px.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        py.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        z.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(px),
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(f), int(size), float(near),
+        win_fid.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        win_bary.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return win_fid, win_bary

@@ -13,6 +13,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <limits>
 #include <ctime>
 
 #ifdef _OPENMP
@@ -918,6 +919,88 @@ int64_t marching_cubes_grid(
   *out_faces = faces;
   *out_n_verts = nv;
   return nf;
+}
+
+// ---------------------------------------------------------------------------
+// Z-buffer triangle rasterizer (visibility pass for the preview renderer).
+//
+// Replaces the numpy bucket rasterizer's candidate-sample generation +
+// sort-based depth test (actionmesh_tpu/render/renderer.py) with a direct
+// per-face bbox scan; shading stays in Python on the winning samples. The
+// reference's equivalent is the pytorch3d CUDA rasterizer
+// (reference: actionmesh/render/renderer.py:58-125).
+//
+// Inputs: screen-space xy (V,) float32, camera-space depth z (V,) float32
+// (> 0 in front of the camera), faces (F, 3) int32, image size.
+// Outputs per pixel (size*size, row-major y*size+x):
+//   win_fid  int32   winning face id, -1 where background
+//   win_bary float32 (3) perspective-correct barycentrics of the winner
+// Semantics match the numpy path: pixel centers at +0.5, inside test
+// w >= -1e-6 on screen-space barycentrics, perspective-correct depth
+// 1 / sum(w_i / z_i), faces with any vertex at z <= near culled.
+void rasterize_zbuffer(
+    const float* px, const float* py, const float* z, int64_t n_verts,
+    const int32_t* faces, int64_t n_faces, int32_t size, float near_z,
+    int32_t* win_fid, float* win_bary) {
+  (void)n_verts;
+  const int64_t n_pix = static_cast<int64_t>(size) * size;
+  std::vector<float> zbuf(n_pix, std::numeric_limits<float>::infinity());
+  for (int64_t i = 0; i < n_pix; ++i) win_fid[i] = -1;
+
+  for (int64_t f = 0; f < n_faces; ++f) {
+    const int32_t ia = faces[f * 3], ib = faces[f * 3 + 1],
+                  ic = faces[f * 3 + 2];
+    const float ax = px[ia], ay = py[ia], az = z[ia];
+    const float bx = px[ib], by = py[ib], bz = z[ib];
+    const float cx = px[ic], cy = py[ic], cz = z[ic];
+    if (az <= near_z || bz <= near_z || cz <= near_z) continue;
+
+    const float den = (by - cy) * (ax - cx) + (cx - bx) * (ay - cy);
+    if (std::fabs(den) <= 1e-12f) continue;
+    const float inv_den = 1.0f / den;
+
+    const float minx = std::min(ax, std::min(bx, cx));
+    const float maxx = std::max(ax, std::max(bx, cx));
+    const float miny = std::min(ay, std::min(by, cy));
+    const float maxy = std::max(ay, std::max(by, cy));
+    if (maxx < 0 || minx >= size || maxy < 0 || miny >= size) continue;
+    const int32_t x0 = std::max(0, static_cast<int32_t>(std::floor(minx)));
+    const int32_t x1 =
+        std::min(size - 1, static_cast<int32_t>(std::ceil(maxx)));
+    const int32_t y0 = std::max(0, static_cast<int32_t>(std::floor(miny)));
+    const int32_t y1 =
+        std::min(size - 1, static_cast<int32_t>(std::ceil(maxy)));
+
+    const float iza = 1.0f / az, izb = 1.0f / bz, izc = 1.0f / cz;
+    const float eps = -1e-6f;
+    for (int32_t yy = y0; yy <= y1; ++yy) {
+      const float cyp = yy + 0.5f;
+      // row-constant pieces of the edge functions
+      const float w0_row = (cx - bx) * (cyp - cy);
+      const float w1_row = (ax - cx) * (cyp - cy);
+      float* zrow = zbuf.data() + static_cast<int64_t>(yy) * size;
+      int32_t* frow = win_fid + static_cast<int64_t>(yy) * size;
+      float* brow = win_bary + (static_cast<int64_t>(yy) * size) * 3;
+      for (int32_t xx = x0; xx <= x1; ++xx) {
+        const float cxp = xx + 0.5f;
+        const float w0 = ((by - cy) * (cxp - cx) + w0_row) * inv_den;
+        const float w1 = ((cy - ay) * (cxp - cx) + w1_row) * inv_den;
+        const float w2 = 1.0f - w0 - w1;
+        if (w0 < eps || w1 < eps || w2 < eps) continue;
+        const float pw0 = w0 * iza, pw1 = w1 * izb, pw2 = w2 * izc;
+        const float wsum = pw0 + pw1 + pw2;
+        const float depth = 1.0f / std::max(wsum, 1e-12f);
+        if (depth < zrow[xx]) {
+          zrow[xx] = depth;
+          frow[xx] = static_cast<int32_t>(f);
+          const float inv_wsum = 1.0f / wsum;
+          brow[xx * 3] = pw0 * inv_wsum;
+          brow[xx * 3 + 1] = pw1 * inv_wsum;
+          brow[xx * 3 + 2] = pw2 * inv_wsum;
+        }
+      }
+    }
+  }
 }
 
 }  // extern "C"
