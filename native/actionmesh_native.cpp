@@ -964,12 +964,17 @@ void rasterize_zbuffer(
     const float miny = std::min(ay, std::min(by, cy));
     const float maxy = std::max(ay, std::max(by, cy));
     if (maxx < 0 || minx >= size || maxy < 0 || miny >= size) continue;
-    const int32_t x0 = std::max(0, static_cast<int32_t>(std::floor(minx)));
+    // clamp in float BEFORE the int cast: near-plane-grazing vertices give
+    // screen coords far beyond int32 range (the numpy path clips pre-cast)
+    const float fsize = static_cast<float>(size - 1);
+    const int32_t x0 =
+        static_cast<int32_t>(std::floor(std::min(std::max(minx, 0.0f), fsize)));
     const int32_t x1 =
-        std::min(size - 1, static_cast<int32_t>(std::ceil(maxx)));
-    const int32_t y0 = std::max(0, static_cast<int32_t>(std::floor(miny)));
+        static_cast<int32_t>(std::ceil(std::min(std::max(maxx, 0.0f), fsize)));
+    const int32_t y0 =
+        static_cast<int32_t>(std::floor(std::min(std::max(miny, 0.0f), fsize)));
     const int32_t y1 =
-        std::min(size - 1, static_cast<int32_t>(std::ceil(maxy)));
+        static_cast<int32_t>(std::ceil(std::min(std::max(maxy, 0.0f), fsize)));
 
     const float iza = 1.0f / az, izb = 1.0f / bz, izc = 1.0f / cz;
     const float eps = -1e-6f;

@@ -230,3 +230,25 @@ def test_native_rasterizer_matches_numpy_path():
 
     diff = np.abs(img_native.astype(int) - img_numpy.astype(int))
     assert (diff.max(axis=-1) <= 1).mean() > 0.999, diff.max()
+
+
+def test_rasterizer_survives_near_plane_grazing_vertex():
+    """A vertex at z ~= near projects to ~1e7 screen coords; the C++ bbox
+    clamp must clip in float before the int cast (int32 overflow is UB)."""
+    import numpy as np
+
+    from actionmesh_tpu.io.mesh import Mesh
+    from actionmesh_tpu.render.cameras import get_uniform_cameras
+    from actionmesh_tpu.render.renderer import Renderer
+
+    cam = get_uniform_cameras(1)[0]
+    R, t = np.asarray(cam["R"]), np.asarray(cam["t"])
+    cam_loc = -R.T @ t
+    fwd = -cam_loc / np.linalg.norm(cam_loc)
+    v = np.stack([
+        cam_loc + fwd * 2e-4,
+        cam_loc + fwd * 2.0 + R[0] * 0.5,
+        cam_loc + fwd * 2.0 - R[0] * 0.5,
+    ])
+    img = Renderer(image_size=64).render(Mesh(v, np.array([[0, 1, 2]])), cam)
+    assert img.shape == (64, 64, 3)
