@@ -261,8 +261,10 @@ def dot_product_attention(
     """Fused multi-head attention. q (B,H,Sq,D), k/v (B,H,Sk,D).
 
     impl: 'auto' picks the Pallas flash kernel on TPU, chunked XLA otherwise.
-    With a ``mesh``, the flash kernel runs per-shard via shard_map
-    (dp over batch, tp over heads); other impls partition under GSPMD.
+    With a ``mesh``, the flash kernel runs per-shard via shard_map:
+    dp over batch, tp over heads, and — when the mesh has an ``sp`` axis
+    and the sequence divides it — sp over the sequence with a ring
+    schedule (ring_attention_local). Other impls partition under GSPMD.
     """
     if impl == "auto":
         impl = "flash" if jax.default_backend() == "tpu" else "chunked"
