@@ -90,13 +90,16 @@ def make_image_to_3d(
     weights_dir: Optional[Path],
     latent_shape: tuple[int, int] = (2048, 64),
     dtype: jnp.dtype = jnp.bfloat16,
+    device_mesh=None,
 ):
     """Return the TripoSG backend if weights exist, else the dev stub."""
     if weights_dir is not None and Path(weights_dir).exists():
         from actionmesh_tpu.models.triposg.pipeline import TripoSGPipeline
 
         logger.info("Loading TripoSG weights from %s", weights_dir)
-        return TripoSGPipeline.from_pretrained(Path(weights_dir), dtype=dtype)
+        return TripoSGPipeline.from_pretrained(
+            Path(weights_dir), dtype=dtype, device_mesh=device_mesh
+        )
     logger.warning(
         "TripoSG weights not found (%s) — using the deterministic Stage-0 "
         "stub (development mode).",

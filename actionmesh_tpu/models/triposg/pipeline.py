@@ -117,6 +117,7 @@ class TripoSGPipeline:
         num_train_timesteps: int = 1000,
         shift: float = 3.0,
         attn_impl: str = "auto",
+        device_mesh=None,
     ):
         self.dit_cfg = dit_cfg or triposg_dit_config()
         self.vae_cfg = vae_cfg or TripoSGVAEConfig()
@@ -127,6 +128,20 @@ class TripoSGPipeline:
         self._num_train_timesteps = num_train_timesteps
         self._shift = shift
         self._attn_impl = attn_impl
+        self.device_mesh = device_mesh
+        if device_mesh is not None:
+            # The DiT shares the denoiser block structure, so the Megatron
+            # col->row sharding tree applies directly; the (small) VAE stays
+            # replicated under GSPMD.
+            from actionmesh_tpu.parallel.mesh import (
+                denoiser_param_shardings,
+                shard_params,
+            )
+
+            self.dit_params = shard_params(
+                self.dit_params,
+                denoiser_param_shardings(self.dit_params, device_mesh),
+            )
 
     # ------------------------------------------------------------------
 
@@ -136,6 +151,7 @@ class TripoSGPipeline:
         path: Path,
         dtype=jnp.bfloat16,
         image_encoder: Optional[ImageEncoder] = None,
+        device_mesh=None,
     ) -> "TripoSGPipeline":
         """Load a VAST-AI/TripoSG checkpoint (transformer/ + vae/ subfolders).
 
@@ -204,6 +220,7 @@ class TripoSGPipeline:
             dit_cfg=dit_cfg,
             vae_cfg=vae_cfg,
             dtype=dtype,
+            device_mesh=device_mesh,
         )
 
     @classmethod
@@ -215,6 +232,7 @@ class TripoSGPipeline:
         vae_cfg: Optional[TripoSGVAEConfig] = None,
         image_encoder: Optional[ImageEncoder] = None,
         attn_impl: str = "auto",
+        device_mesh=None,
     ) -> "TripoSGPipeline":
         dit_cfg = dit_cfg or triposg_dit_config()
         vae_cfg = vae_cfg or TripoSGVAEConfig()
@@ -228,6 +246,7 @@ class TripoSGPipeline:
             vae_cfg=vae_cfg,
             dtype=dtype,
             attn_impl=attn_impl,
+            device_mesh=device_mesh,
         )
 
     # ------------------------------------------------------------------
@@ -270,6 +289,7 @@ class TripoSGPipeline:
                 jnp.asarray(dist[done : done + seg]),
                 guidance_scale=float(guidance_scale),
                 attn_impl=self._attn_impl,
+                mesh=self.device_mesh,
             )
             done += seg
         meshes = self.decode_latents(

@@ -260,3 +260,48 @@ def test_sp_denoise_window_matches_unsharded():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
     )
+
+
+def test_pipeline_e2e_sharded_matches_unsharded():
+    """Full tiny pipeline on a dp2 x tp4 virtual mesh == single-device run.
+
+    Exercises the user-facing path a v5e-8 deployment takes: the pipeline
+    shards Stage I/II params at load (pipeline._shard_model_params) and
+    threads the mesh through denoise_window_segmented / autoencoder_forward.
+    """
+    import numpy as np
+
+    from actionmesh_tpu.io.video_input import ActionMeshInput
+    from actionmesh_tpu.models.image_encoder import ImageEncoder
+    from actionmesh_tpu.models.stage0 import StubImageTo3D
+    from actionmesh_tpu.pipeline import ActionMeshPipeline
+    from tests.test_pipeline import TINY_DINO, TINY_UPDATES, make_frames
+
+    def build(device_mesh):
+        pipe = ActionMeshPipeline(
+            config_name="actionmesh",
+            weights_dir=None,
+            config_updates=dict(TINY_UPDATES),
+            dtype=jnp.float32,
+            device_mesh=device_mesh,
+        )
+        pipe.image_encoder = ImageEncoder(
+            weights_dir=None, dtype=jnp.float32, config=TINY_DINO
+        )
+        pipe.image_to_3d = StubImageTo3D(latent_shape=(16, 8))
+        return pipe
+
+    frames = make_frames(16, seed=5)
+    ts = np.arange(16, dtype=np.float32)
+
+    ref = build(None)(
+        ActionMeshInput(frames=frames, timesteps=ts.copy()), seed=44
+    )
+    shard = build(make_mesh(8))(
+        ActionMeshInput(frames=frames, timesteps=ts.copy()), seed=44
+    )
+
+    assert len(ref) == len(shard) == 16
+    for a, b in zip(ref, shard):
+        assert np.array_equal(a.faces, b.faces)
+        np.testing.assert_allclose(a.vertices, b.vertices, rtol=2e-4, atol=2e-4)
