@@ -143,7 +143,6 @@ class TestPipelineWith3D:
         """{video+3D} mode on tiny config: topology must be preserved."""
         import jax.numpy as jnp
 
-        from actionmesh_tpu.models.dinov2 import DinoV2Config
         from actionmesh_tpu.models.image_encoder import ImageEncoder
         from actionmesh_tpu.models.triposg.pipeline import TripoSGPipeline
         from actionmesh_tpu.models.triposg.vae import TripoSGVAEConfig
