@@ -305,3 +305,60 @@ def test_pipeline_e2e_sharded_matches_unsharded():
     for a, b in zip(ref, shard):
         assert np.array_equal(a.faces, b.faces)
         np.testing.assert_allclose(a.vertices, b.vertices, rtol=2e-4, atol=2e-4)
+
+
+def test_pipeline_with_3d_sharded_matches_unsharded():
+    """{video+3D} mode sharded over the virtual mesh == single-device."""
+    import numpy as np
+
+    from actionmesh_tpu.io.video_input import ActionMeshInput
+    from actionmesh_tpu.models.image_encoder import ImageEncoder
+    from actionmesh_tpu.models.stage0 import make_uv_sphere
+    from actionmesh_tpu.models.triposg.pipeline import TripoSGPipeline
+    from actionmesh_tpu.models.triposg.vae import TripoSGVAEConfig
+    from actionmesh_tpu.pipeline_with_3d import ActionMeshPipelineWithMeshInput
+    from tests.test_pipeline import TINY_DINO, TINY_UPDATES, make_frames
+
+    def build(device_mesh):
+        pipe = ActionMeshPipelineWithMeshInput(
+            config_name="actionmesh",
+            weights_dir=None,
+            config_updates=dict(TINY_UPDATES),
+            dtype=jnp.float32,
+            surface_samples=512,
+            device_mesh=device_mesh,
+        )
+        pipe.image_encoder = ImageEncoder(
+            weights_dir=None, dtype=jnp.float32, config=TINY_DINO
+        )
+        tiny_vae = TripoSGVAEConfig(
+            latent_channels=8, num_tokens=16,
+            encoder_width=32, encoder_layers=1, encoder_heads=2,
+            decoder_width=32, decoder_layers=1, decoder_heads=2,
+        )
+        pipe.vae = TripoSGPipeline.from_random(
+            seed=0, dtype=jnp.float32, vae_cfg=tiny_vae,
+            image_encoder=pipe.image_encoder, attn_impl="naive",
+        )
+        return pipe
+
+    anchor = make_uv_sphere(n_lat=6, n_lon=8)
+    anchor.vertices = anchor.vertices * 2.0 + 5.0
+    frames = make_frames(16, seed=9)
+    ts = np.arange(16, dtype=np.float32)
+
+    def run(pipe):
+        import copy
+
+        return pipe(
+            ActionMeshInput(frames=list(frames), timesteps=ts.copy()),
+            anchor_mesh=copy.deepcopy(anchor),
+            seed=3,
+        )
+
+    ref = run(build(None))
+    shard = run(build(make_mesh(8)))
+    assert len(ref) == len(shard) == 16
+    for a, b in zip(ref, shard):
+        assert np.array_equal(a.faces, b.faces)
+        np.testing.assert_allclose(a.vertices, b.vertices, rtol=2e-4, atol=2e-4)
