@@ -26,16 +26,23 @@ logger = logging.getLogger(__name__)
 
 
 def _compute_per_frame_icp(
-    gt_pc: np.ndarray, pred_pc: np.ndarray, n_iter: int = 200
+    gt_pc: np.ndarray, pred_pc: np.ndarray, n_iter: int = 200,
+    nn_every: int = 4,
 ) -> Transform:
     """All T per-frame alignments fused into one batched device loop.
 
     One 24-init ICP underutilizes the chip (dispatch-bound); fusing the
     evaluator's T=16 problems into a single (T*24)-transform optimization
     is ~4x faster with identical per-problem math (actionbench/icp.py).
+
+    ``nn_every=1`` reproduces the reference's exact math (chamfer min
+    differentiated every step, ref actionbench/icp.py:91-106);
+    ``nn_every=4`` is the default stop-grad approximation (BENCH_NOTES r3
+    quantifies the delta on the synthetic suite).
     """
     return gradient_icp_multi(
-        pc_pred=pred_pc, pc_gt=gt_pc, lr=0.01, n_iter=n_iter
+        pc_pred=pred_pc, pc_gt=gt_pc, lr=0.01, n_iter=n_iter,
+        nn_every=nn_every,
     )
 
 
@@ -48,6 +55,7 @@ def compute_chamfer_3d_4d(
     n_pts_chamfer: int = 100_000,
     seed: int = 44,
     icp_iters: int = 200,
+    icp_nn_every: int = 4,
 ) -> tuple[float, float, float]:
     """Returns (cd_3d, cd_4d, cd_motion); cd_motion is 0.0 unless is_4D."""
     del device
@@ -61,7 +69,7 @@ def compute_chamfer_3d_4d(
     gt_pc_icp = sample_point_cloud(gt_pc, n_pts=n_pts_icp, seed=seed)
 
     icp_transforms_3d = _compute_per_frame_icp(
-        gt_pc_icp, pred_pc_icp, n_iter=icp_iters
+        gt_pc_icp, pred_pc_icp, n_iter=icp_iters, nn_every=icp_nn_every
     )
     # The reference's "unified" ICP (benchmark.py:41-44) optimizes exactly
     # frame 0's (gt, pred) pair — deterministically identical to the

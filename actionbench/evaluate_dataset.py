@@ -136,6 +136,7 @@ def evaluate_sample(
     mesh_pattern: str = "mesh_*.glb",
     is_4d: bool = True,
     icp_iters: int = 200,
+    icp_nn_every: int = 4,
 ) -> SampleResult:
     result = SampleResult(uid=uid)
     try:
@@ -170,6 +171,7 @@ def evaluate_sample(
             n_pts_chamfer=n_pts_chamfer,
             seed=seed,
             icp_iters=icp_iters,
+            icp_nn_every=icp_nn_every,
         )
         result.cd_3d, result.cd_4d, result.cd_motion = cd_3d, cd_4d, cd_motion
         result.status = "success"
@@ -217,6 +219,7 @@ def evaluate_dataset(
     recompute: bool = False,
     is_4d: bool = True,
     icp_iters: int = 200,
+    icp_nn_every: int = 4,
 ) -> DatasetResults:
     """Evaluate all samples; resumable via the output CSV."""
     gt_root = Path(gt_root)
@@ -249,6 +252,7 @@ def evaluate_dataset(
             uid=uid, gt_root=gt_root, pred_root=pred_root, device=device,
             n_pts_icp=n_pts_icp, n_pts_chamfer=n_pts_chamfer, seed=seed,
             mesh_pattern=mesh_pattern, is_4d=is_4d, icp_iters=icp_iters,
+            icp_nn_every=icp_nn_every,
         )
         results.add(result)
         if result.status == "success":

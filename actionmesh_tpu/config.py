@@ -75,6 +75,9 @@ class DenoiserModelConfig:
     # Reference memory knob (autocast weight-cache clearing); accepted for
     # preset parity, no-op under XLA (no autocast cache exists).
     clear_autocast: bool = False
+    # tanh GELU on TPU (fused, within bf16 noise); False = exact erf, used
+    # by fp32 parity tests (models/denoiser.DenoiserConfig.gelu_approx)
+    gelu_approx: bool = True
 
 
 @dataclasses.dataclass
@@ -90,6 +93,7 @@ class AutoencoderModelConfig:
     embed_frequency: int = 8
     embed_include_pi: bool = False
     prediction_mode: str = "direct"
+    gelu_approx: bool = True
 
 
 @dataclasses.dataclass

@@ -152,15 +152,20 @@ class TripoSGPipeline:
         dtype=jnp.bfloat16,
         image_encoder: Optional[ImageEncoder] = None,
         device_mesh=None,
+        allow_unknown_config_keys: bool = False,
     ) -> "TripoSGPipeline":
         """Load a VAST-AI/TripoSG checkpoint (transformer/ + vae/ subfolders).
 
-        Architecture hyperparameters come from each subfolder's config.json
-        (tolerant key mapping — the upstream repo was not vendorable in this
-        environment, so unknown keys are logged rather than fatal); weights
-        convert through utils/weights.py. Structure mismatches raise with
-        the offending parameter path so the mapping can be corrected against
-        the real checkpoint.
+        Architecture hyperparameters come from each subfolder's config.json.
+        FAIL-FAST contract (round-2 verdict): any config.json key this
+        mapping does not recognize raises — a silently-defaulted
+        hyperparameter would build a wrong model that converts cleanly and
+        produces garbage. Pass ``allow_unknown_config_keys=True`` (after
+        reading the raised report) to proceed with defaults for keys that
+        are genuinely irrelevant. Weight-structure mismatches additionally
+        raise from the converters with a full state-dict report, and the
+        converted tree is shape-verified against the configured architecture
+        (utils/weights.verify_converted).
         """
         import json
 
@@ -176,37 +181,70 @@ class TripoSGPipeline:
         dit_raw = read_config("transformer")
         vae_raw = read_config("vae")
 
-        def pick(raw: dict, default, *keys):
-            for k in keys:
-                if k in raw:
-                    return raw[k]
-            return default
+        # HF/diffusers metadata keys that carry no architecture information.
+        _META = {
+            "_class_name", "_name_or_path", "_diffusers_version",
+            "transformers_version", "architectures", "model_type",
+            "torch_dtype", "dtype", "_commit_hash", "use_cache",
+        }
 
+        def make_picker(raw: dict, which: str):
+            recognized: set = set()
+
+            def pick(default, *keys):
+                recognized.update(keys)
+                for k in keys:
+                    if k in raw:
+                        return raw[k]
+                return default
+
+            def finish():
+                unknown = sorted(set(raw) - recognized - _META)
+                if unknown and not allow_unknown_config_keys:
+                    known = {k: raw[k] for k in sorted(set(raw) & recognized)}
+                    raise ValueError(
+                        f"TripoSG {which} config.json has keys this mapping "
+                        f"does not recognize: {unknown}.\nRecognized keys "
+                        f"found: {known}.\nRefusing to silently default — a "
+                        "wrong-hyperparameter model would convert cleanly "
+                        "and fail only as bad output. Extend the mapping in "
+                        "TripoSGPipeline.from_pretrained, or pass "
+                        "allow_unknown_config_keys=True if these keys are "
+                        "irrelevant to the architecture."
+                    )
+                elif unknown:
+                    logger.warning(
+                        "TripoSG %s config: ignoring unknown keys %s",
+                        which, unknown,
+                    )
+
+            return pick, finish
+
+        pick, dit_finish = make_picker(dit_raw, "transformer")
         dit_cfg = triposg_dit_config(
-            num_tokens=pick(dit_raw, 2048, "num_tokens", "width_latent"),
-            in_channels=pick(dit_raw, 64, "in_channels", "latent_channels"),
-            num_layers=pick(dit_raw, 21, "num_layers", "num_hidden_layers"),
-            width=pick(dit_raw, 2048, "width", "hidden_size", "inner_dim"),
-            num_attention_heads=pick(
-                dit_raw, 16, "num_attention_heads", "num_heads"
-            ),
+            num_tokens=pick(2048, "num_tokens", "width_latent"),
+            in_channels=pick(64, "in_channels", "latent_channels"),
+            num_layers=pick(21, "num_layers", "num_hidden_layers", "num_attention_layers"),
+            width=pick(2048, "width", "hidden_size", "inner_dim"),
+            num_attention_heads=pick(16, "num_attention_heads", "num_heads"),
             cross_attention_dim=pick(
-                dit_raw, 1024, "cross_attention_dim", "context_dim"
+                1024, "cross_attention_dim", "context_dim", "encoder_hid_dim"
             ),
         )
+        pick(64, "out_channels")  # == in_channels for a flow model
+        dit_finish()
+
+        pick, vae_finish = make_picker(vae_raw, "vae")
         vae_cfg = TripoSGVAEConfig(
-            latent_channels=pick(vae_raw, 64, "latent_channels"),
-            num_tokens=pick(vae_raw, 2048, "num_tokens"),
-            embed_frequency=pick(vae_raw, 8, "embed_frequency", "num_freqs"),
-            encoder_width=pick(vae_raw, 512, "width_encoder", "encoder_width"),
-            encoder_layers=pick(
-                vae_raw, 8, "num_layers_encoder", "encoder_layers"
-            ),
-            decoder_width=pick(vae_raw, 1024, "width_decoder", "decoder_width"),
-            decoder_layers=pick(
-                vae_raw, 16, "num_layers_decoder", "decoder_layers"
-            ),
+            latent_channels=pick(64, "latent_channels", "embed_dim"),
+            num_tokens=pick(2048, "num_tokens", "num_latents"),
+            embed_frequency=pick(8, "embed_frequency", "num_freqs"),
+            encoder_width=pick(512, "width_encoder", "encoder_width"),
+            encoder_layers=pick(8, "num_layers_encoder", "encoder_layers"),
+            decoder_width=pick(1024, "width_decoder", "decoder_width", "width"),
+            decoder_layers=pick(16, "num_layers_decoder", "decoder_layers", "num_layers"),
         )
+        vae_finish()
 
         dit_state = weights_util.load_safetensors_dir(path / "transformer")
         vae_state = weights_util.load_safetensors_dir(path / "vae")

@@ -129,6 +129,7 @@ class ActionMeshPipeline:
             mlp_ratio=dc.mlp_ratio,
             cross_attention_dim=dc.cross_attention_dim,
             inflated_layers=tuple(dc.inflated_layers),
+            gelu_approx=dc.gelu_approx,
         )
         ac = self.cfg.temporal_3D_vae
         self.autoencoder_config = AutoencoderConfig(
@@ -143,6 +144,7 @@ class ActionMeshPipeline:
             embed_frequency=ac.embed_frequency,
             embed_include_pi=ac.embed_include_pi,
             prediction_mode=ac.prediction_mode,
+            gelu_approx=ac.gelu_approx,
         )
 
         self.image_process = ImagePreprocessor()

@@ -151,13 +151,86 @@ def _flow_block(
 
 
 # ---------------------------------------------------------------------------
+# Converted-tree verification (fail fast at first real-weight contact)
+# ---------------------------------------------------------------------------
+
+def tree_shape_mismatches(converted, expected, path="") -> list[str]:
+    """Structural diff of a converted param tree vs the model init's tree.
+
+    Returns human-readable lines for every missing key, extra key, and
+    shape mismatch. A wrong-but-present hyperparameter in a checkpoint's
+    config.json (e.g. width 1536 where the model expects 2048) converts
+    "successfully" name-wise — this catches it before a forward pass can
+    produce garbage (round-2 verdict: converters must fail fast).
+    """
+    out: list[str] = []
+    if isinstance(expected, dict) or isinstance(converted, dict):
+        exp = expected if isinstance(expected, dict) else {}
+        got = converted if isinstance(converted, dict) else {}
+        if not isinstance(converted, dict):
+            return [f"{path or '<root>'}: expected mapping, got {type(converted).__name__}"]
+        if not isinstance(expected, dict):
+            return [f"{path or '<root>'}: expected {type(expected).__name__}, got mapping"]
+        for k in sorted(set(exp) | set(got)):
+            sub = f"{path}.{k}" if path else str(k)
+            if k not in got:
+                out.append(f"{sub}: MISSING from checkpoint conversion")
+            elif k not in exp:
+                out.append(f"{sub}: UNEXPECTED (model has no such parameter)")
+            else:
+                out += tree_shape_mismatches(got[k], exp[k], sub)
+        return out
+    if isinstance(expected, (list, tuple)) or isinstance(converted, (list, tuple)):
+        if not isinstance(converted, (list, tuple)) or not isinstance(
+            expected, (list, tuple)
+        ):
+            return [f"{path}: list/leaf structure mismatch"]
+        if len(converted) != len(expected):
+            out.append(
+                f"{path}: {len(converted)} entries, model expects {len(expected)}"
+            )
+        for i, (c, e) in enumerate(zip(converted, expected)):
+            out += tree_shape_mismatches(c, e, f"{path}[{i}]")
+        return out
+    cs = tuple(getattr(converted, "shape", ()))
+    es = tuple(getattr(expected, "shape", ()))
+    if cs != es:
+        out.append(f"{path}: checkpoint shape {cs}, model expects {es}")
+    return out
+
+
+def verify_converted(converted: dict, init_thunk, family: str) -> dict:
+    """Raise with a full structural report if `converted` doesn't match the
+    model the config describes (shapes from ``jax.eval_shape(init_thunk)``).
+    """
+    import jax
+
+    expected = jax.eval_shape(init_thunk)
+    problems = tree_shape_mismatches(converted, expected)
+    if problems:
+        head = problems[:40]
+        more = f"\n  ... {len(problems) - 40} more" if len(problems) > 40 else ""
+        raise ValueError(
+            f"{family}: converted checkpoint does not match the configured "
+            f"architecture ({len(problems)} problems):\n  " + "\n  ".join(head) + more
+        )
+    return converted
+
+
+# ---------------------------------------------------------------------------
 # Model-specific converters
 # ---------------------------------------------------------------------------
 
 def load_denoiser(path: Path, cfg, dtype=jnp.bfloat16) -> dict:
     """Convert the Stage-I denoiser checkpoint (facebook/ActionMesh denoiser)."""
-    state = load_safetensors_dir(path)
-    return {
+    return convert_denoiser(load_safetensors_dir(path), cfg, dtype)
+
+
+def convert_denoiser(
+    state: dict, cfg, dtype=jnp.bfloat16, verify: bool = True
+) -> dict:
+    state = {k: np.asarray(v) for k, v in state.items()}
+    converted = {
         "time_proj": {
             "linear_1": _linear(state, "time_proj.linear_1", dtype),
             "linear_2": _linear(state, "time_proj.linear_2", dtype),
@@ -173,6 +246,17 @@ def load_denoiser(path: Path, cfg, dtype=jnp.bfloat16) -> dict:
         "norm_out": _layer_norm(state, "norm_out"),
         "proj_out": _linear(state, "proj_out", dtype),
     }
+    if verify:
+        import jax
+
+        from actionmesh_tpu.models.denoiser import init_denoiser
+
+        verify_converted(
+            converted,
+            lambda: init_denoiser(jax.random.PRNGKey(0), cfg, dtype=dtype),
+            "stage1_denoiser",
+        )
+    return converted
 
 
 def load_autoencoder(path: Path, cfg, dtype=jnp.bfloat16) -> dict:
@@ -181,7 +265,13 @@ def load_autoencoder(path: Path, cfg, dtype=jnp.bfloat16) -> dict:
     The final cross-attention block, proj_query, norm_out and proj_out stay
     float32 (the reference's fp32 island, temporal_autoencoder.py:240,266).
     """
-    state = load_safetensors_dir(path)
+    return convert_autoencoder(load_safetensors_dir(path), cfg, dtype)
+
+
+def convert_autoencoder(
+    state: dict, cfg, dtype=jnp.bfloat16, verify: bool = True
+) -> dict:
+    state = {k: np.asarray(v) for k, v in state.items()}
     n = cfg.num_layers
     blocks = [
         _flow_block(
@@ -192,13 +282,24 @@ def load_autoencoder(path: Path, cfg, dtype=jnp.bfloat16) -> dict:
     ]
     # final cross-attention block: no RoPE, no permutation
     blocks.append(_flow_block(state, f"blocks.{n}", dtype, fp32=True))
-    return {
+    converted = {
         "blocks": blocks,
         "proj_query": _linear(state, "proj_query", jnp.float32),
         "norm_out": _layer_norm(state, "norm_out"),
         "proj_out": _linear(state, "proj_out", jnp.float32),
         "post_quant": _linear(state, "post_quant", dtype),
     }
+    if verify:
+        import jax
+
+        from actionmesh_tpu.models.autoencoder import init_autoencoder
+
+        verify_converted(
+            converted,
+            lambda: init_autoencoder(jax.random.PRNGKey(0), cfg, dtype=dtype),
+            "stage2_autoencoder",
+        )
+    return converted
 
 
 def load_dinov2(path: Path, cfg, dtype=jnp.bfloat16) -> dict:
@@ -206,7 +307,7 @@ def load_dinov2(path: Path, cfg, dtype=jnp.bfloat16) -> dict:
     return convert_dinov2(load_safetensors_dir(path), cfg, dtype)
 
 
-def convert_dinov2(state: dict, cfg, dtype=jnp.bfloat16) -> dict:
+def convert_dinov2(state: dict, cfg, dtype=jnp.bfloat16, verify: bool = True) -> dict:
     """Convert a Dinov2Model state dict (torch tensors or numpy arrays)."""
     state = {k: np.asarray(v) for k, v in state.items()}
 
@@ -234,7 +335,7 @@ def convert_dinov2(state: dict, cfg, dtype=jnp.bfloat16) -> dict:
         }
 
     proj = state["embeddings.patch_embeddings.projection.weight"]  # OIHW
-    return {
+    converted = {
         "patch_embed": {
             "kernel": _to_jnp(proj.transpose(2, 3, 1, 0), dtype),
             "bias": _to_jnp(
@@ -248,6 +349,17 @@ def convert_dinov2(state: dict, cfg, dtype=jnp.bfloat16) -> dict:
         "blocks": [block(i) for i in range(cfg.num_layers)],
         "norm": _layer_norm(state, "layernorm"),
     }
+    if verify:
+        import jax
+
+        from actionmesh_tpu.models.dinov2 import init_dinov2
+
+        verify_converted(
+            converted,
+            lambda: init_dinov2(jax.random.PRNGKey(0), cfg, dtype=dtype),
+            "dinov2",
+        )
+    return converted
 
 
 # ---------------------------------------------------------------------------
@@ -339,7 +451,9 @@ def describe_state_dict(state: dict, max_lines: int = 60) -> str:
         lines.append(f"  ... {len(families) - max_lines} more families")
     return "\n".join(lines)
 
-def convert_triposg_dit(state: dict, cfg, dtype=jnp.bfloat16) -> dict:
+def convert_triposg_dit(
+    state: dict, cfg, dtype=jnp.bfloat16, verify: bool = True
+) -> dict:
     """Convert the TripoSG shape transformer.
 
     The ActionMesh Stage-I denoiser is derived from this DiT, so the
@@ -348,7 +462,7 @@ def convert_triposg_dit(state: dict, cfg, dtype=jnp.bfloat16) -> dict:
     """
     state = {k: np.asarray(v) for k, v in state.items()}
     try:
-        return {
+        converted = {
             "time_proj": {
                 "linear_1": _linear(state, "time_proj.linear_1", dtype),
                 "linear_2": _linear(state, "time_proj.linear_2", dtype),
@@ -368,9 +482,22 @@ def convert_triposg_dit(state: dict, cfg, dtype=jnp.bfloat16) -> dict:
             "model is an inflation of this DiT). Checkpoint structure:\n"
             + describe_state_dict(state)
         ) from e
+    if verify:
+        import jax
+
+        from actionmesh_tpu.models.triposg.dit import init_triposg_dit
+
+        verify_converted(
+            converted,
+            lambda: init_triposg_dit(jax.random.PRNGKey(0), cfg, dtype=dtype),
+            "triposg_dit",
+        )
+    return converted
 
 
-def convert_triposg_vae(state: dict, cfg, dtype=jnp.bfloat16) -> dict:
+def convert_triposg_vae(
+    state: dict, cfg, dtype=jnp.bfloat16, verify: bool = True
+) -> dict:
     """Convert the TripoSG vecset VAE (encoder + decoder + SDF head)."""
     state = {k: np.asarray(v) for k, v in state.items()}
 
@@ -386,7 +513,7 @@ def convert_triposg_vae(state: dict, cfg, dtype=jnp.bfloat16) -> dict:
     try:
         enc = first_prefix("encoder", "enc")
         dec = first_prefix("decoder", "dec")
-        return {
+        converted = {
             "proj_point": _linear(state, f"{enc}.proj_in", dtype),
             "enc_cross_attn": _attention(
                 state, f"{enc}.cross_attn.attn", dtype
@@ -417,3 +544,14 @@ def convert_triposg_vae(state: dict, cfg, dtype=jnp.bfloat16) -> dict:
             "Fix the prefix table in convert_triposg_vae against this "
             "checkpoint structure:\n" + describe_state_dict(state)
         ) from e
+    if verify:
+        import jax
+
+        from actionmesh_tpu.models.triposg.vae import init_triposg_vae
+
+        verify_converted(
+            converted,
+            lambda: init_triposg_vae(jax.random.PRNGKey(0), cfg, dtype=dtype),
+            "triposg_vae",
+        )
+    return converted

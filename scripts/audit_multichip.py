@@ -1,0 +1,91 @@
+"""AOT-lower the PRODUCTION-shape multi-chip programs and audit the HLO.
+
+Wrapper over actionmesh_tpu/parallel/audit.py (see its docstring for what
+risk this retires and the attention-fidelity caveat). Compiles the dp2xtp4
+Stage-I denoise segment (seq 32784, 21 layers, 5-step scan) and the
+Stage-II decode (40960-vertex bucket) on a virtual 8-CPU-device mesh,
+checks the Megatron invariants, and writes MULTICHIP_AUDIT.json with every
+collective op, per-device memory, and a program-derived ICI estimate.
+
+Usage:  python scripts/audit_multichip.py   (self-bootstraps 8 CPU devices)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _bootstrap(n_devices: int) -> None:
+    import subprocess
+
+    env = dict(os.environ)
+    flags = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    )
+    env["XLA_FLAGS"] = (
+        f"{flags} --xla_force_host_platform_device_count={n_devices}".strip()
+    )
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["_AUDIT_CHILD"] = "1"
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)], env=env, cwd=REPO
+    )
+    sys.exit(proc.returncode)
+
+
+def main() -> None:
+    n_devices = 8
+    import jax
+
+    jax.config.update("jax_platform_name", "cpu")
+    if os.environ.get("_AUDIT_CHILD") != "1" and jax.device_count() < n_devices:
+        _bootstrap(n_devices)
+        return
+
+    sys.path.insert(0, REPO)
+    from actionmesh_tpu.parallel.audit import (
+        audit_stage1,
+        audit_stage2,
+        check_megatron_invariants,
+        ici_estimate,
+    )
+    from actionmesh_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_devices=n_devices)
+    dp, tp = mesh.devices.shape
+    print(f"virtual mesh: dp={dp} x tp={tp} over {n_devices} CPU devices")
+
+    s1 = audit_stage1(mesh)
+    print(f"Stage I: lowered {s1['lower_s']}s, compiled {s1.get('compile_s')}s,"
+          f" summary {json.dumps(s1.get('summary', {}))}")
+    s2 = audit_stage2(mesh)
+    print(f"Stage II: lowered {s2['lower_s']}s, compiled {s2.get('compile_s')}s,"
+          f" summary {json.dumps(s2.get('summary', {}))}")
+
+    fails = check_megatron_invariants(s1, tp)
+    report = {
+        "mesh": {"dp": int(dp), "tp": int(tp)},
+        "programs": [s1, s2],
+        "invariant_failures": fails,
+        "ici_estimate": ici_estimate(s1, tp),
+    }
+    out_path = os.path.join(REPO, "MULTICHIP_AUDIT.json")
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=1)
+    for p in report["programs"]:
+        print(p["name"], "mem:", json.dumps(p.get("memory", {})))
+    print("ici:", json.dumps(report["ici_estimate"]))
+    if fails:
+        print("INVARIANT FAILURES:\n" + "\n".join(fails))
+        sys.exit(1)
+    print(f"audit OK -> {out_path}")
+
+
+if __name__ == "__main__":
+    main()

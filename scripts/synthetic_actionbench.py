@@ -162,6 +162,9 @@ def main() -> None:
     ap.add_argument("--skip-build", action="store_true")
     ap.add_argument("--per-kind", type=int, default=2,
                     help="samples per perturbation class")
+    ap.add_argument("--nn-every", type=int, default=4,
+                    help="ICP NN refresh interval; 1 = reference exact-min")
+    ap.add_argument("--report-name", type=str, default="ACTIONBENCH_SYNTH.json")
     args = ap.parse_args()
 
     out = Path(args.out)
@@ -175,8 +178,9 @@ def main() -> None:
     results = evaluate_dataset(
         gt_root=str(out / "gt"),
         pred_root=str(out / "pred"),
-        output_csv=str(out / "results.csv"),
+        output_csv=str(out / f"results_nn{args.nn_every}.csv"),
         icp_iters=args.icp_iters,
+        icp_nn_every=args.nn_every,
     )
     df = results.to_dataframe()
     df["kind"] = df["uid"].str.rsplit("_", n=1).str[0]
@@ -204,8 +208,9 @@ def main() -> None:
         < pk["noise_02"]["cd_3d"]
         < pk["noise_05"]["cd_3d"],
     }
+    report["icp_nn_every"] = args.nn_every
     report["checks"] = checks
-    path = Path(__file__).resolve().parent.parent / "ACTIONBENCH_SYNTH.json"
+    path = Path(__file__).resolve().parent.parent / args.report_name
     path.write_text(json.dumps(report, indent=2))
     print(json.dumps(report, indent=2))
     assert all(checks.values()), f"metric-stack sanity failed: {checks}"

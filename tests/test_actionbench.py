@@ -68,6 +68,7 @@ class TestICP:
         r = rotation_6d_to_matrix(jnp.array([[1.0, 0, 0, 0, 1.0, 0]]))
         np.testing.assert_allclose(np.asarray(r[0]), np.eye(3), atol=1e-6)
 
+    @pytest.mark.slow
     def test_icp_recovers_rigid_transform(self):
         rng = np.random.default_rng(0)
         gt = rng.uniform(-1, 1, size=(400, 3)).astype(np.float32)

@@ -1,0 +1,212 @@
+"""Cascade-level golden parity: the FULL Stage-I orchestration vs torch.
+
+Round-2 verdict item 4: the denoiser had transcription-level parity but the
+*cascade* around it — flow schedule, CFG batch build + aggregation, mask
+freeze, latent bank get/update, AR sliding-window layout, per-window noise
+placement — was only unit-tested against itself. A subtle window/freeze/
+bank discrepancy would pass every unit test and surface as a silent metric
+miss at first real-weight contact.
+
+This test transcribes the reference cascade math in torch/numpy
+(reference: actionmesh/scheduler/scheduler.py:43-98 schedule,
+scheduler.py:172-249 flow loop + freeze, scheduler/guidance.py:37-120 CFG,
+actionmesh/pipeline.py:247-330 window denoise + bank conditioning,
+pipeline.py:434-508 AR windows, model/utils/storage.py:91-186 bank
+semantics, model/utils/timesteps.py:10-46 chunk_right), reusing the
+validated RefDenoiser transcription as the network, and demands the real
+``ActionMeshPipeline.generate_3d_latents`` produce identical banked
+latents end-to-end in fp32 over a two-window 7-frame AR run with a fixed
+(injected) Stage-0 anchor latent and injected per-window noise.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from tests.test_denoiser_parity import (
+    CROSS_DIM,
+    IN_CH,
+    RefDenoiser,
+    state_dict_with_reference_names,
+)
+
+N_TOKENS = 8
+T_WINDOW = 4
+SLIDE = 3
+N_FRAMES = 16  # io/video_input.py MIN_FRAMES; 5 AR windows at size 4/slide 3
+N_STEPS = 3
+SHIFT = 3.0
+SCALE = 7.5
+SEED = 44
+
+
+def _noise(seed: int, n_frames: int) -> np.ndarray:
+    """Deterministic init noise shared by both sides (injected)."""
+    return (
+        np.random.default_rng(1000 + seed)
+        .standard_normal((1, n_frames, N_TOKENS, IN_CH))
+        .astype(np.float32)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Torch/numpy transcription of the reference cascade
+# ---------------------------------------------------------------------------
+
+def ref_schedule(num_steps: int, num_train: int = 1000, shift: float = SHIFT):
+    """scheduler.py:58-98 (trailing-sigma linspace + shift transform)."""
+    full = np.linspace(1, num_train, num_train) / num_train
+    full = full[::-1]
+    full_shifted = shift * full / (1 + (shift - 1) * full)
+    ts = np.linspace(
+        full_shifted[0] * num_train, full_shifted[-1] * num_train, num_steps + 1
+    )
+    sig = ts / num_train
+    sig = shift * sig / (1 + (shift - 1) * sig)
+    timesteps = (sig * num_train).astype(np.float32)
+    distances = (timesteps[:-1] - timesteps[1:]) / num_train
+    return timesteps, distances
+
+
+def ref_chunk_right(start, end, size, slide):
+    """timesteps.py:10-46."""
+    chunks, chunk_end = [], start
+    while chunk_end < end:
+        chunk_end = min(start + size, end) if not chunks else min(chunk_end + slide, end)
+        chunks.append(list(range(max(start, chunk_end - size), chunk_end)))
+    return chunks
+
+
+def ref_flow_sample(model, init_latent, context, mask, framestep):
+    """scheduler.py:172-249 + guidance.py: CFG [[0,1],[1,1]] scale 7.5,
+    additive flow step, frozen observed frames."""
+    timesteps, distances = ref_schedule(N_STEPS)
+    lat = torch.from_numpy(init_latent.copy())
+    ctx = torch.from_numpy(context)
+    m = torch.from_numpy(mask)
+    fs = torch.from_numpy(framestep)
+    unobserved = m[0] == 0  # (T,)
+    for i, t in enumerate(timesteps[:-1]):
+        hidden = torch.cat([lat, lat], dim=0)
+        ctx_g = torch.cat([torch.zeros_like(ctx), ctx], dim=0)  # [0,1] | [1,1]
+        mask_g = torch.cat([m, m], dim=0)
+        fs_g = torch.cat([fs, fs], dim=0)
+        dt = torch.full((2,), float(t), dtype=lat.dtype)
+        with torch.no_grad():
+            pred = model(hidden, ctx_g, fs_g, dt, mask_g)
+        o0, o1 = pred.chunk(2, dim=0)
+        pred = o0 + SCALE * (o1 - o0)
+        stepped = lat + distances[i] * pred  # is_additive (config yaml)
+        lat[:, unobserved] = stepped[:, unobserved]
+    return lat.numpy()
+
+
+def ref_cascade(model, context_all, anchor_latent, timesteps_all):
+    """pipeline.py:434-508 AR windows over a bank (storage.py semantics:
+    update(replace=False) keeps the first value for overlap frames)."""
+    bank: dict[float, np.ndarray] = {float(timesteps_all[0]): anchor_latent}
+    windows = ref_chunk_right(0, N_FRAMES, T_WINDOW, SLIDE)
+    for i, idx in enumerate(windows):
+        ts = timesteps_all[idx]
+        cond = np.stack(
+            [bank.get(float(t), np.zeros((N_TOKENS, IN_CH), np.float32)) for t in ts]
+        )[None]
+        mask = np.array(
+            [[1.0 if float(t) in bank else 0.0 for t in ts]], np.float32
+        )
+        noise = _noise(SEED + i, len(idx))
+        init = cond * mask[..., None, None] + noise * (1.0 - mask[..., None, None])
+        lat = ref_flow_sample(
+            model, init, context_all[idx][None], mask, ts[None].astype(np.float32)
+        )
+        for j, t in enumerate(ts):
+            bank.setdefault(float(t), lat[0, j])
+    return bank
+
+
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_stage1_cascade_matches_reference_math(monkeypatch, tmp_path):
+    from PIL import Image
+    from safetensors.numpy import save_file
+
+    import actionmesh_tpu.pipeline as pipeline_mod
+    from actionmesh_tpu.io.video_input import ActionMeshInput
+    from actionmesh_tpu.pipeline import ActionMeshPipeline
+    from actionmesh_tpu.utils.banks import LatentBank
+
+    torch.manual_seed(0)
+    model = RefDenoiser().eval()
+    save_file(
+        state_dict_with_reference_names(model), str(tmp_path / "model.safetensors")
+    )
+
+    pipe = ActionMeshPipeline(
+        config_name="actionmesh",
+        weights_dir=None,
+        config_updates={
+            "temporal_3D_denoiser.num_tokens_nominal": N_TOKENS,
+            "temporal_3D_denoiser.width": 32,
+            "temporal_3D_denoiser.num_layers": 3,
+            "temporal_3D_denoiser.num_attention_heads": 2,
+            "temporal_3D_denoiser.in_channels": IN_CH,
+            "temporal_3D_denoiser.cross_attention_dim": CROSS_DIM,
+            "temporal_3D_denoiser.mlp_ratio": 2.0,
+            "temporal_3D_denoiser.inflated_layers": [0, 1, 2],
+            "temporal_3D_denoiser.temporal_context_size": T_WINDOW,
+            "temporal_3D_denoiser.gelu_approx": False,
+            "scheduler.num_inference_steps": N_STEPS,
+            "scheduler.shift": SHIFT,
+            "sliding_window_denoiser": SLIDE,
+            "attn_impl": "naive",
+            "compute_dtype": "float32",
+        },
+        dtype=jnp.float32,
+    )
+    from actionmesh_tpu.utils.weights import load_denoiser
+
+    pipe.denoiser_params = load_denoiser(
+        tmp_path, pipe.denoiser_config, dtype=jnp.float32
+    )
+
+    # inject the SAME per-window noise the torch side uses
+    def fake_get_noise(key, latent_shape, batch_size, n_timesteps, **kw):
+        seed = int(np.asarray(key)[-1])
+        return jnp.asarray(_noise(seed, n_timesteps))
+
+    monkeypatch.setattr(pipeline_mod, "get_noise", fake_get_noise)
+
+    rng = np.random.default_rng(9)
+    context_all = rng.normal(size=(N_FRAMES, 5, CROSS_DIM)).astype(np.float32)
+    anchor_latent = rng.normal(size=(N_TOKENS, IN_CH)).astype(np.float32)
+    timesteps_all = np.arange(N_FRAMES, dtype=np.float32)
+
+    # --- JAX side: the real pipeline orchestration
+    frames = [
+        Image.fromarray(np.zeros((16, 16, 4), np.uint8)) for _ in range(N_FRAMES)
+    ]
+    input = ActionMeshInput(frames=frames, timesteps=timesteps_all)
+    bank = LatentBank(empty_dims=(N_TOKENS, IN_CH))
+    bank.update(timesteps=timesteps_all[[0]], latents=jnp.asarray(anchor_latent))
+    bank = pipe.generate_3d_latents(
+        input, jnp.asarray(context_all), bank, seed=SEED
+    )
+    ours_lat, ours_ts = bank.get_ordered()
+    ours_lat = np.asarray(ours_lat)
+
+    # --- Torch side: transcription of the reference cascade
+    ref_bank = ref_cascade(model, context_all, anchor_latent, timesteps_all)
+
+    assert list(ours_ts) == sorted(ref_bank.keys())
+    # anchor must be bitwise-preserved by both
+    np.testing.assert_array_equal(ours_lat[0], anchor_latent)
+    for i, t in enumerate(ours_ts):
+        np.testing.assert_allclose(
+            ours_lat[i], ref_bank[float(t)], atol=7e-4,
+            err_msg=f"timestep {t}",
+        )

@@ -139,6 +139,7 @@ class TestVisualizer:
 
 
 class TestPipelineWith3D:
+    @pytest.mark.slow
     def test_video_and_mesh_to_4d(self, tmp_path):
         """{video+3D} mode on tiny config: topology must be preserved."""
         import jax.numpy as jnp

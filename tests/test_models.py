@@ -5,6 +5,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from actionmesh_tpu.models.autoencoder import (
     AutoencoderConfig,
@@ -266,6 +267,7 @@ class TestSegmentedDenoise:
         )
 
 
+@pytest.mark.slow
 class TestTrainability:
     def test_grad_flows_through_denoiser(self):
         """The functional design is trainable: flow-matching loss gradients
@@ -294,6 +296,7 @@ class TestTrainability:
         assert nonzero / len(leaves) > 0.95
 
 
+@pytest.mark.slow
 def test_gelu_tanh_within_bf16_noise():
     """The tanh-GELU speed default stays inside the bf16 quantization envelope.
 

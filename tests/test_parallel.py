@@ -262,6 +262,7 @@ def test_sp_denoise_window_matches_unsharded():
     )
 
 
+@pytest.mark.slow
 def test_pipeline_e2e_sharded_matches_unsharded():
     """Full tiny pipeline on a dp2 x tp4 virtual mesh == single-device run.
 
@@ -307,6 +308,7 @@ def test_pipeline_e2e_sharded_matches_unsharded():
         np.testing.assert_allclose(a.vertices, b.vertices, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_pipeline_with_3d_sharded_matches_unsharded():
     """{video+3D} mode sharded over the virtual mesh == single-device."""
     import numpy as np
@@ -362,3 +364,33 @@ def test_pipeline_with_3d_sharded_matches_unsharded():
     for a, b in zip(ref, shard):
         assert np.array_equal(a.faces, b.faces)
         np.testing.assert_allclose(a.vertices, b.vertices, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_production_shape_collective_audit():
+    """GSPMD-compile the PRODUCTION Stage-I program (seq 32784, 21 layers,
+    width 2048) on the virtual dp2xtp4 mesh and audit the partitioned HLO
+    (round-2 verdict item 1): the Megatron row-parallel reduces must exist
+    and no full-sequence activation all-gather may have been inserted.
+    Abstract params (ShapeDtypeStruct) — nothing materializes; only the
+    partitioner and buffer assignment run.
+    """
+    from actionmesh_tpu.parallel.audit import (
+        audit_stage1,
+        check_megatron_invariants,
+        ici_estimate,
+    )
+
+    mesh = make_mesh(8)
+    report = audit_stage1(mesh, n_steps=5, compile=True)
+    fails = check_megatron_invariants(report, tp=4)
+    assert not fails, "\n".join(fails)
+    # per-device HBM: params (bf16, sharded) + temps must fit a 16 GB v5e
+    mem = report["memory"]
+    total = mem.get("argument_size_in_bytes", 0) + mem.get(
+        "temp_size_in_bytes", 0
+    )
+    assert total < 16e9, f"per-device bytes {total / 1e9:.1f} GB exceeds v5e HBM"
+    est = ici_estimate(report, tp=4)
+    # tp-ring serial bound must leave room under the 3.89 s single-chip step
+    assert est["stage1_ici_seconds_per_step_tp_ring"] < 1.0, est

@@ -85,6 +85,7 @@ class TestAttentionParity:
 
 
 class TestDinoV2Parity:
+    @pytest.mark.slow
     def test_forward_matches_transformers(self):
         """Full-model parity: HF Dinov2Model (random small) vs our JAX port."""
         transformers = pytest.importorskip("transformers")

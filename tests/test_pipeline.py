@@ -81,6 +81,7 @@ def test_video_to_4d_16_frames(tiny_pipeline):
         assert m.vertices.min() >= -1.0 and m.vertices.max() <= 1.0
 
 
+@pytest.mark.slow
 def test_video_to_4d_ar_windows(tiny_pipeline):
     """>16 frames exercises the autoregressive sliding-window path."""
     frames = make_frames(18)
@@ -158,6 +159,7 @@ def test_save_load_native_checkpoint(tiny_pipeline, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_pipeline_call_is_idempotent_on_input(tiny_pipeline):
     """Calling the pipeline twice with the SAME input object works.
 

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from PIL import Image
 
 from actionmesh_tpu.models.rmbg import (
@@ -18,6 +19,7 @@ from actionmesh_tpu.preprocessing.background import (
 )
 
 
+@pytest.mark.slow
 def test_rmbg_forward_shape():
     params = init_rmbg(jax.random.PRNGKey(0))
     x = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3))
