@@ -149,6 +149,7 @@ def denoiser_forward(
     freqs_rot: Optional[tuple[jnp.ndarray, jnp.ndarray]] = None,
     attn_impl: str = "auto",
     mesh=None,
+    uncond_batch: int = 0,
 ) -> jnp.ndarray:
     """One denoising step (velocity prediction).
 
@@ -159,6 +160,9 @@ def denoiser_forward(
         diffusion_time (B,): flow time (0=clean .. num_train_timesteps=noise).
         mask (B, T): 1 = ground-truth frame (diffusion time zeroed).
         freqs_rot: precomputed RoPE tables (see precompute_freqs_rot).
+        uncond_batch: leading batch entries whose context is all-zero (CFG
+            unconditional-image branches) — their cross-attention reduces
+            to a constant and can be skipped (layers.attention lever).
 
     Returns:
         (B, T, N, D_in) predicted velocity.
@@ -212,6 +216,7 @@ def denoiser_forward(
             rope_layout="half",
             gelu_approx=cfg.gelu_approx,
             mesh=mesh,
+            uncond_prefix=uncond_batch * T,  # batch-major merge_batch_time
         )
         if layer < half:
             skips.append(x)

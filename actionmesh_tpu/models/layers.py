@@ -17,6 +17,7 @@ Reference: actionmesh/model/utils/block.py:19-154, diffusers Attention.
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional
 
 import jax
@@ -26,6 +27,12 @@ from actionmesh_tpu.ops.attention import dot_product_attention
 from actionmesh_tpu.ops.rotary import apply_rotary_embedding
 
 Params = dict
+
+# Step-time levers (read at trace time; see BENCH_NOTES r3b for the
+# measured effect of each). Single-chip only — both change batching or
+# kernel concatenation in ways the dp/tp shardings don't cover.
+_FUSE_QKV = os.environ.get("ACTIONMESH_FUSE_QKV", "0") == "1"
+_SKIP_UNCOND_XATTN = os.environ.get("ACTIONMESH_SKIP_UNCOND_XATTN", "0") == "1"
 
 
 # ---------------------------------------------------------------------------
@@ -179,23 +186,77 @@ def attention(
     attn_impl: str = "auto",
     rope_layout: str = "interleaved",
     mesh=None,
+    uncond_prefix: int = 0,
 ) -> jnp.ndarray:
     """Multi-head (self or cross) attention on (B, S, D) activations.
 
     Matches reference AttentionProcessor (attention_processor.py:36-168):
     optional per-head rms qk-norm, optional RoPE on q and k, fused SDPA with
     fp32 softmax, output projection.
+
+    ``uncond_prefix``: number of leading batch entries whose
+    ``encoder_hidden_states`` are all-zero (CFG unconditional-image
+    branches). With no kv bias and no norm_cross, zero context gives
+    k = v = 0 exactly, so softmax is uniform over zero values and the
+    attention output is exactly the out-projection bias — those entries'
+    cross-attention is a constant and is skipped (lever, single-chip).
     """
     B, S, _ = hidden_states.shape
+    if (
+        _SKIP_UNCOND_XATTN
+        and encoder_hidden_states is not None
+        and 0 < uncond_prefix < B
+        and mesh is None
+        and "norm_cross" not in params
+        and "bias" not in params["to_k"]
+        and "bias" not in params["to_v"]
+    ):
+        cond = attention(
+            params,
+            hidden_states[uncond_prefix:],
+            heads,
+            encoder_hidden_states[uncond_prefix:],
+            freqs_rot=freqs_rot,
+            kv_mask=kv_mask[uncond_prefix:] if kv_mask is not None else None,
+            attn_impl=attn_impl,
+            rope_layout=rope_layout,
+        )
+        out_bias = params["to_out"].get("bias")
+        if out_bias is None:
+            uncond = jnp.zeros((uncond_prefix, S, cond.shape[-1]), cond.dtype)
+        else:
+            uncond = jnp.broadcast_to(
+                out_bias.astype(cond.dtype),
+                (uncond_prefix, S, cond.shape[-1]),
+            )
+        return jnp.concatenate([uncond, cond], axis=0)
+
     kv_src = (
         hidden_states if encoder_hidden_states is None else encoder_hidden_states
     )
     if encoder_hidden_states is not None and "norm_cross" in params:
         kv_src = layer_norm(params["norm_cross"], kv_src)
 
-    q = linear(params["to_q"], hidden_states)
-    k = linear(params["to_k"], kv_src)
-    v = linear(params["to_v"], kv_src)
+    if (
+        _FUSE_QKV
+        and encoder_hidden_states is None
+        and mesh is None
+        and "bias" not in params["to_q"]
+        and "bias" not in params["to_k"]
+    ):
+        # One (D, 3D) matmul instead of three (lever): XLA does not merge
+        # sibling gemms itself. The concat re-materializes 3*D*D weights
+        # per call (~25 MB bf16 at Stage-I width — negligible vs the gemm).
+        w = jnp.concatenate(
+            [params["to_q"]["kernel"], params["to_k"]["kernel"],
+             params["to_v"]["kernel"]], axis=1,
+        )
+        qkv = hidden_states @ w.astype(hidden_states.dtype)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+    else:
+        q = linear(params["to_q"], hidden_states)
+        k = linear(params["to_k"], kv_src)
+        v = linear(params["to_v"], kv_src)
 
     dim_head = q.shape[-1] // heads
     # (B, S, H*Dh) -> (B, H, S, Dh)
@@ -213,10 +274,12 @@ def attention(
 
         cos, sin = freqs_rot if freqs_rot is not None else (None, None)
         q = fused_rms_rope(
-            q, params["norm_q"]["scale"] if has_norm else None, cos, sin
+            q, params["norm_q"]["scale"] if has_norm else None, cos, sin,
+            mesh=mesh,
         )
         k = fused_rms_rope(
-            k, params["norm_k"]["scale"] if has_norm else None, cos, sin
+            k, params["norm_k"]["scale"] if has_norm else None, cos, sin,
+            mesh=mesh,
         )
     else:
         if has_norm:
@@ -246,6 +309,7 @@ def init_flow_matching_block(
     cross_attention_norm: Optional[str] = None,
     attention_qk_norm: bool = True,
     attention_bias: bool = True,
+    attention_out_bias: bool = True,
     ff_inner_dim: Optional[int] = None,
     skip: bool = False,
     dtype: jnp.dtype = jnp.float32,
@@ -256,7 +320,8 @@ def init_flow_matching_block(
         params["norm_s_attn"] = init_layer_norm(dim)
         params["s_attn"] = init_attention(
             keys[0], dim, num_attention_heads,
-            qk_norm=attention_qk_norm, bias=attention_bias, dtype=dtype,
+            qk_norm=attention_qk_norm, bias=attention_bias,
+            out_bias=attention_out_bias, dtype=dtype,
         )
     if use_cross_attention:
         assert cross_attention_dim is not None
@@ -266,7 +331,7 @@ def init_flow_matching_block(
             cross_attention_dim=cross_attention_dim,
             qk_norm=attention_qk_norm,
             cross_norm=cross_attention_norm,
-            bias=attention_bias, dtype=dtype,
+            bias=attention_bias, out_bias=attention_out_bias, dtype=dtype,
         )
     params["norm_ff"] = init_layer_norm(dim)
     params["ff"] = init_feed_forward(
@@ -291,6 +356,7 @@ def flow_matching_block(
     rope_layout: str = "interleaved",
     gelu_approx: bool = False,
     mesh=None,
+    uncond_prefix: int = 0,
 ) -> jnp.ndarray:
     """Pre-norm transformer block with optional U-skip concat.
 
@@ -338,6 +404,7 @@ def flow_matching_block(
             encoder_hidden_states=encoder_hidden_states,
             attn_impl=attn_impl,
             mesh=mesh,
+            uncond_prefix=uncond_prefix,
         )
 
     hidden_states = hidden_states + feed_forward(

@@ -86,13 +86,73 @@ class StubImageTo3D:
         return latent, make_uv_sphere()
 
 
+class DevTripoSG:
+    """Dev-mode Stage 0: the REAL TripoSG production path, random weights.
+
+    Round-3 replacement for the UV-sphere stub in measured end-to-end runs
+    (round-2 verdict item 2): every production Stage-0 cost now executes —
+    DINOv2 conditioning, 100-step DiT rectified-flow sampling, full
+    hierarchical SDF decode, marching-cubes extraction, QEM decimation —
+    matching the reference call stack (ref: actionmesh/pipeline.py:387-433).
+
+    Two dev-mode accommodations, neither of which removes compute:
+      * the pipeline builds lazily on first call, so constructing an
+        ActionMeshPipeline (e.g. in tests that then substitute a stub)
+        costs nothing;
+      * the decoded SDF is regularized (``_dev_sdf_regularizer``): a
+        random-weight decoder emits a noise field whose isosurface is
+        pathological (23M faces, 94 s host extraction — BENCH_NOTES r2c);
+        blending the decoded values into a sphere SDF keeps the full
+        query/decode compute while extracting a sane ~1M-face surface.
+    """
+
+    def __init__(self, dtype=jnp.bfloat16, device_mesh=None, seed: int = 0):
+        self._dtype = dtype
+        self._device_mesh = device_mesh
+        self._seed = seed
+        self._pipe = None
+
+    @property
+    def pipeline(self):
+        if self._pipe is None:
+            from actionmesh_tpu.models.triposg.pipeline import TripoSGPipeline
+
+            logger.info(
+                "Building random-weight TripoSG pipeline (dev mode, real "
+                "production code path)"
+            )
+            self._pipe = TripoSGPipeline.from_random(
+                seed=self._seed, dtype=self._dtype,
+                device_mesh=self._device_mesh,
+            )
+            self._pipe.sdf_regularizer = _dev_sdf_regularizer
+        return self._pipe
+
+    def __call__(self, image, **kwargs):
+        return self.pipeline(image, **kwargs)
+
+    def encode_to_latent(self, surface, seed=None):
+        return self.pipeline.encode_to_latent(surface, seed=seed)
+
+
+def _dev_sdf_regularizer(pts: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """Noisy-sphere SDF for random-weight dev runs: the decoded values
+    perturb a sphere instead of being the field. Inside-negative, matching
+    the extraction convention."""
+    r = np.linalg.norm(pts, axis=-1)
+    return (r - 0.65) + 0.12 * np.tanh(vals.astype(np.float32))
+
+
 def make_image_to_3d(
     weights_dir: Optional[Path],
     latent_shape: tuple[int, int] = (2048, 64),
     dtype: jnp.dtype = jnp.bfloat16,
     device_mesh=None,
 ):
-    """Return the TripoSG backend if weights exist, else the dev stub."""
+    """TripoSG backend if weights exist; dev-mode real path (random
+    weights, lazily built) at production latent shape; stub otherwise."""
+    import os
+
     if weights_dir is not None and Path(weights_dir).exists():
         from actionmesh_tpu.models.triposg.pipeline import TripoSGPipeline
 
@@ -100,6 +160,16 @@ def make_image_to_3d(
         return TripoSGPipeline.from_pretrained(
             Path(weights_dir), dtype=dtype, device_mesh=device_mesh
         )
+    if (
+        tuple(latent_shape) == (2048, 64)
+        and os.environ.get("ACTIONMESH_DEV_STAGE0", "triposg") != "stub"
+    ):
+        logger.warning(
+            "TripoSG weights not found (%s) — running the REAL TripoSG "
+            "pipeline with random weights (dev mode; dev SDF regularizer).",
+            weights_dir,
+        )
+        return DevTripoSG(dtype=dtype, device_mesh=device_mesh)
     logger.warning(
         "TripoSG weights not found (%s) — using the deterministic Stage-0 "
         "stub (development mode).",

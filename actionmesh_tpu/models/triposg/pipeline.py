@@ -380,7 +380,13 @@ class TripoSGPipeline:
                     jnp.asarray(pts, jnp.float32)[None],
                     attn_impl=self._attn_impl,
                 )
-                return np.asarray(vals[0], np.float32)
+                out = np.asarray(vals[0], np.float32)
+                reg = getattr(self, "sdf_regularizer", None)
+                if reg is not None:
+                    # dev-mode only (models/stage0.DevTripoSG): tame the
+                    # random-weight noise field; never set for real weights
+                    out = reg(pts, out)
+                return out
 
             v, f = hierarchical_extract_geometry(
                 sdf_fn,

@@ -83,6 +83,7 @@ def init_triposg_vae(
             use_cross_attention=False,
             attention_qk_norm=False,
             attention_bias=False,
+            attention_out_bias=False,  # transcription: VAE to_out has no bias
             dtype=dtype,
         )
         for _ in range(cfg.encoder_layers)
@@ -96,6 +97,7 @@ def init_triposg_vae(
             use_cross_attention=False,
             attention_qk_norm=False,
             attention_bias=False,
+            attention_out_bias=False,
             dtype=dtype,
         )
         for _ in range(cfg.decoder_layers)
@@ -107,7 +109,7 @@ def init_triposg_vae(
         "enc_cross_attn": init_attention(
             keys[next(ki)], cfg.encoder_width, cfg.encoder_heads,
             cross_attention_dim=cfg.encoder_width,
-            qk_norm=False, bias=False, dtype=dtype,
+            qk_norm=False, bias=False, out_bias=False, dtype=dtype,
         ),
         "enc_norm_cross": init_layer_norm(cfg.encoder_width),
         "enc_blocks": enc_blocks,
@@ -128,7 +130,7 @@ def init_triposg_vae(
             keys[next(ki)], cfg.decoder_width, cfg.decoder_heads,
             cross_attention_dim=cfg.decoder_width,
             cross_norm="layer_norm",
-            qk_norm=False, bias=False, dtype=jnp.float32,
+            qk_norm=False, bias=False, out_bias=False, dtype=jnp.float32,
         ),
         "dec_norm_cross_q": init_layer_norm(cfg.decoder_width),
         "dec_norm_out": init_layer_norm(cfg.decoder_width),

@@ -175,16 +175,21 @@ def ring_attention_local(q, k, v, scale, kv_mask, axis_name, sp):
     return (num / jnp.maximum(l[..., None], 1e-30)).astype(q.dtype)
 
 
-def _flash_sharded(q, k, v, scale, kv_mask, mesh):
-    """Run the Pallas flash kernel per-shard under shard_map.
+def _sharded_attention(q, k, v, scale, kv_mask, mesh, impl):
+    """Run a local attention implementation per-shard under shard_map.
 
-    GSPMD cannot partition a ``pallas_call``, so under a device mesh the
-    kernel is explicitly mapped: batch (the CFG branch axis) over ``dp``,
-    attention heads over ``tp``, and — when the mesh has an ``sp`` axis —
-    the sequence over ``sp`` with a ring schedule (ring_attention_local).
-    Head-sharded attention needs no collectives — the softmax is per
-    (batch, head, row) — and the surrounding Megatron col->row projections
-    keep their GSPMD-inserted reduces unchanged.
+    GSPMD cannot partition a ``pallas_call`` — and (measured, round-3 HLO
+    audit) it mis-partitions the chunked scan, inserting full-sequence
+    activation all-gathers (72 GB/step at production shape). So under a
+    device mesh BOTH implementations are explicitly mapped: batch (the CFG
+    branch axis) over ``dp``, attention heads over ``tp``, and — when the
+    mesh has an ``sp`` axis (flash only: the ring needs the kernel's
+    online-softmax stats) — the sequence over ``sp`` with a ring schedule
+    (ring_attention_local). Head-sharded attention needs no collectives —
+    the softmax is per (batch, head, row) — and the surrounding Megatron
+    col->row projections keep their GSPMD-inserted reduces unchanged.
+    Per-shard results are bitwise-identical to unsharded: heads and batch
+    entries are independent.
 
     Axes that don't divide evenly stay replicated on that mesh axis (e.g.
     Stage II's B=1 under dp=2 replicates the batch).
@@ -193,6 +198,9 @@ def _flash_sharded(q, k, v, scale, kv_mask, mesh):
     from jax.experimental.shard_map import shard_map
     from actionmesh_tpu.ops.flash_attention import flash_attention_pipelined
 
+    local = (
+        flash_attention_pipelined if impl == "flash" else chunked_attention
+    )
     axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
     B, H, Sq = q.shape[0], q.shape[1], q.shape[2]
     Sk = k.shape[2]
@@ -201,7 +209,8 @@ def _flash_sharded(q, k, v, scale, kv_mask, mesh):
     sp = axis_sizes.get("sp", 1)
     s_ax = (
         "sp"
-        if sp > 1 and Sq % sp == 0 and Sk % sp == 0 and Sq == Sk
+        if impl == "flash"
+        and sp > 1 and Sq % sp == 0 and Sk % sp == 0 and Sq == Sk
         else None
     )
     qkv_spec = P(b_ax, h_ax, s_ax, None)
@@ -225,7 +234,7 @@ def _flash_sharded(q, k, v, scale, kv_mask, mesh):
 
     if kv_mask is None:
         fn = shard_map(
-            functools.partial(flash_attention_pipelined, scale=scale),
+            functools.partial(local, scale=scale),
             mesh=mesh,
             in_specs=(qkv_spec, qkv_spec, qkv_spec),
             out_specs=qkv_spec,
@@ -233,9 +242,7 @@ def _flash_sharded(q, k, v, scale, kv_mask, mesh):
         )
         return fn(q, k, v)
     fn = shard_map(
-        lambda q_, k_, v_, m_: flash_attention_pipelined(
-            q_, k_, v_, scale=scale, kv_mask=m_
-        ),
+        lambda q_, k_, v_, m_: local(q_, k_, v_, scale=scale, kv_mask=m_),
         mesh=mesh,
         in_specs=(qkv_spec, qkv_spec, qkv_spec, P(b_ax, None)),
         out_specs=qkv_spec,
@@ -264,7 +271,10 @@ def dot_product_attention(
     With a ``mesh``, the flash kernel runs per-shard via shard_map:
     dp over batch, tp over heads, and — when the mesh has an ``sp`` axis
     and the sequence divides it — sp over the sequence with a ring
-    schedule (ring_attention_local). Other impls partition under GSPMD.
+    schedule (ring_attention_local). The chunked fallback also shard_maps
+    (dp/tp; no sp ring — it has no online-softmax stats to merge); GSPMD
+    mis-partitions its scan otherwise (full-sequence all-gathers, see
+    _sharded_attention). 'naive' partitions under GSPMD (test-only).
     """
     if impl == "auto":
         impl = "flash" if jax.default_backend() == "tpu" else "chunked"
@@ -272,9 +282,11 @@ def dot_product_attention(
         from actionmesh_tpu.ops.flash_attention import flash_attention_pipelined
 
         if mesh is not None:
-            return _flash_sharded(q, k, v, scale, kv_mask, mesh)
+            return _sharded_attention(q, k, v, scale, kv_mask, mesh, "flash")
         return flash_attention_pipelined(q, k, v, scale=scale, kv_mask=kv_mask)
     if impl == "chunked":
+        if mesh is not None:
+            return _sharded_attention(q, k, v, scale, kv_mask, mesh, "chunked")
         return chunked_attention(
             q, k, v, scale=scale, kv_mask=kv_mask, q_chunk=q_chunk, k_chunk=k_chunk
         )

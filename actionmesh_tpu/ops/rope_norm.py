@@ -28,18 +28,18 @@ def _norm_rope_kernel(
     x_ref, scale_ref, cos_ref, sin_ref, o_ref,
     *, eps: float, with_norm: bool, with_rope: bool,
 ):
-    x = x_ref[0, 0].astype(jnp.float32)  # (block_s, D)
+    x = x_ref[0].astype(jnp.float32)  # (block_h, block_s, D)
     if with_norm:
         var = jnp.mean(x * x, axis=-1, keepdims=True)
         x = x * jax.lax.rsqrt(var + eps)
         x = x * scale_ref[0].astype(jnp.float32)
     if with_rope:
-        cos = cos_ref[0]
-        sin = sin_ref[0]
+        cos = cos_ref[0][None]  # (1, block_s, D) broadcasts over heads
+        sin = sin_ref[0][None]
         h = x.shape[-1] // 2
-        rot = jnp.concatenate([-x[:, h:], x[:, :h]], axis=-1)
+        rot = jnp.concatenate([-x[..., h:], x[..., :h]], axis=-1)
         x = x * cos + rot * sin
-    o_ref[0, 0] = x.astype(o_ref.dtype)
+    o_ref[0] = x.astype(o_ref.dtype)
 
 
 def _pure_impl(eps, with_norm, with_rope, x, scale, cos, sin):
@@ -61,23 +61,34 @@ def _pure_impl(eps, with_norm, with_rope, x, scale, cos, sin):
 def _fused(eps, with_norm, with_rope, block_s, interpret, x, scale, cos, sin):
     B, H, S, D = x.shape
     block_s = min(block_s, -(-S // 8) * 8)  # sublane-aligned
+    # Head-blocked grid (r3): one grid step covers block_h heads. The r2c
+    # per-head grid ran B*n_s*H = 512 steps at Stage-I shapes and the
+    # fixed per-step cost dominated (measured ~3.5 ms/tensor vs a ~0.7 ms
+    # HBM floor); 8 heads per block cuts grid steps 8x at ~25 MB VMEM.
+    block_h = H
+    while block_h > 1 and block_h * block_s * D * 8 > 24 * 1024 * 1024:
+        block_h //= 2
     pad = (-S) % block_s
     if pad:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
         if with_rope:
             cos = jnp.pad(cos, ((0, 0), (0, pad), (0, 0)))
             sin = jnp.pad(sin, ((0, 0), (0, pad), (0, 0)))
+    pad_h = (-H) % block_h
+    if pad_h:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, 0), (0, 0)))
     n_s = x.shape[2] // block_s
+    n_h = x.shape[1] // block_h
 
     cb = cos.shape[0]  # 1 (shared tables) or B (per-batch tables)
     tab_block = block_s if with_rope else 8
-    # Heads iterate innermost so the (block_s, D) fp32 tables stay resident
-    # across H consecutive grid steps instead of re-fetching per step (the
+    # Head blocks iterate innermost so the (block_s, D) fp32 tables stay
+    # resident across consecutive grid steps instead of re-fetching (the
     # tables are the dominant HBM traffic: fp32 vs the bf16 activations).
     tab_idx = (
-        (lambda b, si, h: (b % cb, si, 0))
+        (lambda b, si, hi: (b % cb, si, 0))
         if with_rope
-        else (lambda b, si, h: (0, 0, 0))
+        else (lambda b, si, hi: (0, 0, 0))
     )
 
     out = pl.pallas_call(
@@ -85,28 +96,32 @@ def _fused(eps, with_norm, with_rope, block_s, interpret, x, scale, cos, sin):
             _norm_rope_kernel, eps=eps, with_norm=with_norm,
             with_rope=with_rope,
         ),
-        grid=(B, n_s, H),
+        grid=(B, n_s, n_h),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, block_s, D),
-                lambda b, si, h: (b, h, si, 0),
+                (1, block_h, block_s, D),
+                lambda b, si, hi: (b, hi, si, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, D), lambda b, si, h: (0, 0), memory_space=pltpu.VMEM
+                (1, D), lambda b, si, hi: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec((1, tab_block, D), tab_idx, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tab_block, D), tab_idx, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, block_s, D),
-            lambda b, si, h: (b, h, si, 0),
+            (1, block_h, block_s, D),
+            lambda b, si, hi: (b, hi, si, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(x, scale[None], cos, sin)
-    return out[:, :, :S]
+    return out[:, :H, :S]
 
 
 def _fused_fwd(eps, with_norm, with_rope, block_s, interpret, x, scale, cos, sin):
@@ -126,9 +141,50 @@ def _fused_bwd(eps, with_norm, with_rope, block_s, interpret, res, g):
 _fused.defvjp(_fused_fwd, _fused_bwd)
 
 
+def _fused_sharded(
+    eps, with_norm, with_rope, block_s, interpret, x, scale, cos, sin, mesh
+):
+    """Map the fused kernel per-shard: dp over batch, tp over heads, sp over
+    sequence. GSPMD cannot partition a pallas_call — left unmapped it
+    all-gathers the FULL (B, H, S, D) activation onto every device and runs
+    the kernel redundantly (caught by the round-3 production-shape HLO
+    audit: 21 x 8 gathers, 72 GB/step). The op is pointwise across
+    (batch, head) and pointwise-per-row across S, so sharding needs no
+    collectives; per-shard results are bitwise-identical.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    B, H, S, _ = x.shape
+    b_ax = "dp" if axis_sizes.get("dp", 1) > 1 and B % axis_sizes["dp"] == 0 else None
+    h_ax = "tp" if axis_sizes.get("tp", 1) > 1 and H % axis_sizes["tp"] == 0 else None
+    sp = axis_sizes.get("sp", 1)
+    s_ax = "sp" if sp > 1 and S % sp == 0 else None
+    cb = cos.shape[0]
+    tab_b = b_ax if (with_rope and cb == B) else None
+    tab_s = s_ax if with_rope else None
+
+    fn = shard_map(
+        lambda x_, sc_, c_, s_: _fused(
+            eps, with_norm, with_rope, block_s, interpret, x_, sc_, c_, s_
+        ),
+        mesh=mesh,
+        in_specs=(
+            P(b_ax, h_ax, s_ax, None),
+            P(None),
+            P(tab_b, tab_s, None),
+            P(tab_b, tab_s, None),
+        ),
+        out_specs=P(b_ax, h_ax, s_ax, None),
+        check_rep=False,
+    )
+    return fn(x, scale, cos, sin)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("eps", "block_s", "interpret"),
+    static_argnames=("eps", "block_s", "interpret", "mesh"),
 )
 def fused_rms_rope(
     x: jnp.ndarray,
@@ -138,6 +194,7 @@ def fused_rms_rope(
     eps: float = 1e-6,
     block_s: int = 2048,
     interpret: Optional[bool] = None,
+    mesh=None,
 ) -> jnp.ndarray:
     """rms_norm(x) then half-layout RoPE, fused; either step optional.
 
@@ -146,6 +203,10 @@ def fused_rms_rope(
         scale: (D,) rms-norm scale, or None to skip the norm.
         cos/sin: (S, D) or (B, S, D) float32 half-layout tables, or None
             to skip the rotation.
+        mesh: device mesh — the kernel then runs per-shard under shard_map
+            (see _fused_sharded); REQUIRED for multi-chip execution, since
+            GSPMD would otherwise de-shard the activation around the
+            pallas_call.
 
     Returns x.dtype, same shape. Matches
     ``apply_rotary_embedding(rms_norm(x), cos, sin, layout="half")``;
@@ -168,4 +229,9 @@ def fused_rms_rope(
     elif cos.ndim == 2:
         cos = cos[None]
         sin = sin[None]
+    if mesh is not None:
+        return _fused_sharded(
+            eps, with_norm, with_rope, block_s, interpret, x, scale, cos, sin,
+            mesh,
+        )
     return _fused(eps, with_norm, with_rope, block_s, interpret, x, scale, cos, sin)

@@ -40,11 +40,13 @@ class ActionMeshPipelineWithMeshInput(ActionMeshPipeline):
         """Attach the TripoSG VAE encode path (shared with Stage 0 backend)."""
         from actionmesh_tpu.models.triposg.pipeline import TripoSGPipeline
 
-        if isinstance(self.image_to_3d, TripoSGPipeline):
+        if hasattr(self.image_to_3d, "encode_to_latent"):
+            # TripoSGPipeline or the lazy dev wrapper (stage0.DevTripoSG) —
+            # either way the Stage-0 backend's VAE is reused, lazily.
             self.vae = self.image_to_3d
         else:
-            # Dev mode: no TripoSG weights — random-init VAE still exercises
-            # the full encode path deterministically.
+            # Stub backend: random-init VAE still exercises the full encode
+            # path deterministically.
             self.vae = TripoSGPipeline.from_random(
                 seed=0, dtype=self._dtype, image_encoder=self.image_encoder
             )

@@ -165,6 +165,7 @@ def denoise_window(
                 freqs_rot=freqs_rot,
                 attn_impl=attn_impl,
                 mesh=mesh,
+                uncond_batch=guidance.leading_uncond_image_branches * B,
             )
         pred = guidance.aggregate_cfg(pred)
         if is_additive:

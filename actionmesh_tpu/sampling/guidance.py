@@ -34,6 +34,24 @@ class ClassifierFreeGuidance:
     def n_branches(self) -> int:
         return len(self.guidance_at_inference) if self.inference_enabled else 1
 
+    @property
+    def leading_uncond_image_branches(self) -> int:
+        """How many LEADING branches zero the image context ((0, *) flags).
+
+        Those branches' cross-attention collapses to a constant (k = v = 0
+        under bias-free projections) — the denoiser skips it when told
+        (layers.attention uncond_prefix lever). Only a leading prefix is
+        exploitable, matching the conventional [uncond..., cond...] order.
+        """
+        if not self.inference_enabled:
+            return 0
+        n = 0
+        for use_image, _ in self.guidance_at_inference:
+            if use_image:
+                break
+            n += 1
+        return n
+
     def get_unobserved_mask(
         self, mask: Optional[jnp.ndarray]
     ) -> Optional[jnp.ndarray]:
