@@ -30,9 +30,13 @@ Params = dict
 
 # Step-time levers (read at trace time; see BENCH_NOTES r3b for the
 # measured effect of each). Single-chip only — both change batching or
-# kernel concatenation in ways the dp/tp shardings don't cover.
+# kernel concatenation in ways the dp/tp shardings don't cover (the
+# `mesh is None` guards below keep sharded paths untouched).
+# SKIP_UNCOND_XATTN is bitwise-exact (zero k/v => out-proj bias) and
+# measured +3.5% at production shape, so it defaults ON; FUSE_QKV
+# measured -3.8% (weight-concat rematerialization) and defaults OFF.
 _FUSE_QKV = os.environ.get("ACTIONMESH_FUSE_QKV", "0") == "1"
-_SKIP_UNCOND_XATTN = os.environ.get("ACTIONMESH_SKIP_UNCOND_XATTN", "0") == "1"
+_SKIP_UNCOND_XATTN = os.environ.get("ACTIONMESH_SKIP_UNCOND_XATTN", "1") == "1"
 
 
 # ---------------------------------------------------------------------------
