@@ -67,11 +67,19 @@ def chunked_attention(
     kv_mask: Optional[jnp.ndarray] = None,
     q_chunk: int = 512,
     k_chunk: int = 1024,
+    return_stats: bool = False,
 ) -> jnp.ndarray:
     """Memory-efficient attention: online softmax over KV chunks.
 
     q (B, H, Sq, D); k, v (B, H, Sk, D); kv_mask (B, Sk) True=valid.
     Peak memory is O(q_chunk * k_chunk) per (B, H) instead of O(Sq * Sk).
+
+    ``return_stats=True`` also returns the per-row online-softmax
+    statistics ``(m, l)`` (running max and exp-sum, fp32, (B, H, Sq)) —
+    the same contract as ``flash_attention_pipelined(return_stats=True)``,
+    which lets the sequence-parallel ring (ring_attention_local) merge
+    partials from this pure-XLA implementation too (used off-TPU, e.g.
+    the production-shape GSPMD audit on the virtual CPU mesh).
     """
     orig_dtype = q.dtype
     if scale is None:
@@ -123,34 +131,48 @@ def chunked_attention(
             jnp.full((B, H, q_chunk), NEG_INF, jnp.float32),
             jnp.zeros((B, H, q_chunk), jnp.float32),
         )
-        (acc, _, l), _ = jax.lax.scan(
+        (acc, m, l), _ = jax.lax.scan(
             kv_step, init, (k_blocks, v_blocks, mask_blocks)
         )
-        return acc / jnp.maximum(l[..., None], 1e-30)
+        return acc / jnp.maximum(l[..., None], 1e-30), m, l
 
     q_qblocks = jnp.moveaxis(q.reshape(B, H, n_q, q_chunk, D), 2, 0)
-    out_blocks = jax.lax.map(process_q_block, q_qblocks)  # (n_q, B, H, qc, D)
+    out_blocks, m_blocks, l_blocks = jax.lax.map(
+        process_q_block, q_qblocks
+    )  # (n_q, B, H, qc[, D])
     out = jnp.moveaxis(out_blocks, 0, 2).reshape(B, H, n_q * q_chunk, D)
     if q_pad:
         out = out[:, :, :Sq]
-    return out.astype(orig_dtype)
+    out = out.astype(orig_dtype)
+    if not return_stats:
+        return out
+    m = jnp.moveaxis(m_blocks, 0, 2).reshape(B, H, n_q * q_chunk)
+    l = jnp.moveaxis(l_blocks, 0, 2).reshape(B, H, n_q * q_chunk)
+    if q_pad:
+        m, l = m[:, :, :Sq], l[:, :, :Sq]
+    return out, (m, l)
 
 
-def ring_attention_local(q, k, v, scale, kv_mask, axis_name, sp):
-    """Sequence-parallel flash attention inside shard_map (ring schedule).
+def ring_attention_local(q, k, v, scale, kv_mask, axis_name, sp,
+                         impl: str = "flash"):
+    """Sequence-parallel attention inside shard_map (ring schedule).
 
     Each device holds S/sp query rows and S/sp KV rows. KV shards rotate
     around the ``axis_name`` ring via ppermute (riding ICI neighbor links);
-    per step the local flash kernel produces a partial result with its
-    online-softmax stats (m, l), and partials merge with the standard
-    log-sum-exp combination — mathematically identical to full attention.
+    per step the local kernel (Pallas flash on TPU; the pure-XLA chunked
+    implementation elsewhere — both expose ``return_stats``) produces a
+    partial result with its online-softmax stats (m, l), and partials
+    merge with the standard log-sum-exp combination — mathematically
+    identical to full attention.
     """
     import jax
 
     from actionmesh_tpu.ops.flash_attention import flash_attention_pipelined
 
+    local = flash_attention_pipelined if impl == "flash" else chunked_attention
+
     def partial_fn(kc, vc, mc):
-        return flash_attention_pipelined(
+        return local(
             q, kc, vc, scale=scale, kv_mask=mc, return_stats=True
         )
 
@@ -183,9 +205,12 @@ def _sharded_attention(q, k, v, scale, kv_mask, mesh, impl):
     activation all-gathers (72 GB/step at production shape). So under a
     device mesh BOTH implementations are explicitly mapped: batch (the CFG
     branch axis) over ``dp``, attention heads over ``tp``, and — when the
-    mesh has an ``sp`` axis (flash only: the ring needs the kernel's
-    online-softmax stats) — the sequence over ``sp`` with a ring schedule
-    (ring_attention_local). Head-sharded attention needs no collectives —
+    mesh has an ``sp`` axis — the sequence over ``sp`` with a ring
+    schedule (ring_attention_local; both local kernels expose the
+    online-softmax stats the ring merge needs, so sp works with flash on
+    TPU and with the pure-XLA chunked path off-TPU, e.g. the
+    production-shape GSPMD audit). Head-sharded attention needs no
+    collectives —
     the softmax is per (batch, head, row) — and the surrounding Megatron
     col->row projections keep their GSPMD-inserted reduces unchanged.
     Per-shard results are bitwise-identical to unsharded: heads and batch
@@ -209,8 +234,7 @@ def _sharded_attention(q, k, v, scale, kv_mask, mesh, impl):
     sp = axis_sizes.get("sp", 1)
     s_ax = (
         "sp"
-        if impl == "flash"
-        and sp > 1 and Sq % sp == 0 and Sk % sp == 0 and Sq == Sk
+        if sp > 1 and Sq % sp == 0 and Sk % sp == 0 and Sq == Sk
         else None
     )
     qkv_spec = P(b_ax, h_ax, s_ax, None)
@@ -219,7 +243,7 @@ def _sharded_attention(q, k, v, scale, kv_mask, mesh, impl):
     if s_ax is not None:
         fn = shard_map(
             lambda q_, k_, v_, m_: ring_attention_local(
-                q_, k_, v_, scale, m_, "sp", sp
+                q_, k_, v_, scale, m_, "sp", sp, impl=impl
             ),
             mesh=mesh,
             in_specs=(qkv_spec, qkv_spec, qkv_spec, mask_spec),
@@ -268,12 +292,12 @@ def dot_product_attention(
     """Fused multi-head attention. q (B,H,Sq,D), k/v (B,H,Sk,D).
 
     impl: 'auto' picks the Pallas flash kernel on TPU, chunked XLA otherwise.
-    With a ``mesh``, the flash kernel runs per-shard via shard_map:
+    With a ``mesh``, the local kernel runs per-shard via shard_map:
     dp over batch, tp over heads, and — when the mesh has an ``sp`` axis
     and the sequence divides it — sp over the sequence with a ring
-    schedule (ring_attention_local). The chunked fallback also shard_maps
-    (dp/tp; no sp ring — it has no online-softmax stats to merge); GSPMD
-    mis-partitions its scan otherwise (full-sequence all-gathers, see
+    schedule (ring_attention_local; flash and chunked both expose the
+    online-softmax stats the ring merge needs). GSPMD mis-partitions the
+    chunked scan otherwise (full-sequence all-gathers, see
     _sharded_attention). 'naive' partitions under GSPMD (test-only).
     """
     if impl == "auto":

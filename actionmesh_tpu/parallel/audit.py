@@ -14,7 +14,11 @@ XLA). The Pallas flash kernel cannot trace at 33k sequence off-TPU
 (interpret mode), and on hardware it runs per-shard under shard_map with
 heads over tp — the same layout with zero internal collectives — so the
 Megatron projection/FF collective structure audited here is exactly what
-the flash path sees.
+the flash path sees. The sequence-parallel ring is auditable the same
+way: chunked_attention exposes the online-softmax stats the ring merge
+needs (ops/attention.py), so an sp mesh lowers the REAL ring schedule
+(KV ppermutes + log-sum-exp merge) with chunked partials standing in for
+the flash kernel — identical collective structure.
 
 Used by scripts/audit_multichip.py (full report -> MULTICHIP_AUDIT.json)
 and __graft_entry__.dryrun_multichip (production-shape certification in
@@ -251,6 +255,86 @@ def check_megatron_invariants(stage1_report: dict, tp: int) -> list[str]:
             )
         )
     return fails
+
+
+def check_sp_invariants(stage1_report: dict, sp: int) -> list[str]:
+    """Failures list (empty = pass) for a (dp, tp, sp) layout:
+      * ring KV rotation present: >= one collective-permute per inflated
+        self-attention call per ring step (21 layers x (sp-1) rounds, k+v
+        at minimum),
+      * NO full-sequence activation all-gather (GSPMD silently de-sharding
+        the sp axis would reconstruct the 33k-token activations), and
+      * the Megatron reduces did not disappear (tp partitioning intact).
+    """
+    fails: list[str] = []
+    if "collectives" not in stage1_report:
+        return ["stage1 (sp) was not compiled — no collectives to audit"]
+    sh = stage1_report["shapes"]
+    full_act_bytes = 2 * sh["seq"] * sh["width"] * 2
+    colls = stage1_report["collectives"]
+    perms = [c for c in colls if c["kind"] == "collective-permute"]
+    min_perms = sh["layers"] * (sp - 1) * 2  # k and v per ring round
+    if len(perms) < min_perms:
+        fails.append(
+            f"stage1 sp: expected >= {min_perms} KV ring ppermutes per step "
+            f"({sh['layers']} layers x {sp - 1} rounds x k,v), found "
+            f"{len(perms)} — ring schedule missing"
+        )
+    big_ag = [c for c in colls
+              if c["kind"] == "all-gather" and c["bytes"] >= full_act_bytes]
+    if big_ag:
+        fails.append(
+            "stage1 sp: full-sequence activation all-gather present: "
+            + ", ".join(
+                f"{c['shape']} ({c['bytes'] / 1e6:.0f} MB)" for c in big_ag[:5]
+            )
+        )
+    reduce_bytes = sum(
+        c["bytes"] for c in colls
+        if c["kind"] in ("all-reduce", "reduce-scatter")
+    )
+    if reduce_bytes == 0:
+        fails.append("stage1 sp: no reduce traffic — tp partitioning missing")
+    return fails
+
+
+def ici_estimate_sp(stage1_report: dict, tp: int, sp: int,
+                    ici_bytes_per_s: float = 4.5e10) -> dict:
+    """Per-step ICI seconds for the (dp, tp, sp) layout.
+
+    Reduces ride a tp-ring within each (dp, sp) group (2(n-1)/n factor);
+    ring-attention KV ppermutes each cross one neighbor hop and overlap
+    with the next partial-attention compute by construction, so their
+    seconds are reported separately (serial worst case), not summed into
+    the reduce bound.
+    """
+    if "collectives" not in stage1_report:
+        return {}
+    colls = stage1_report["collectives"]
+    reduce_bytes = sum(
+        c["bytes"] for c in colls
+        if c["kind"] in ("all-reduce", "reduce-scatter")
+    )
+    perm_bytes = sum(
+        c["bytes"] for c in colls if c["kind"] == "collective-permute"
+    )
+    gather_bytes = sum(
+        c["bytes"] for c in colls if c["kind"] == "all-gather"
+    )
+    reduce_s = reduce_bytes * 2 * (tp - 1) / tp / ici_bytes_per_s if tp > 1 else 0.0
+    perm_s = perm_bytes / ici_bytes_per_s
+    # spatial-attention reshard: 2049 tokens/frame is odd, so the per-frame
+    # attention cannot ring and its q/k re-gather over sp each layer
+    gather_s = gather_bytes * (sp - 1) / sp / ici_bytes_per_s if sp > 1 else 0.0
+    return {
+        "stage1_reduce_bytes_per_step": int(reduce_bytes),
+        "stage1_ppermute_bytes_per_step": int(perm_bytes),
+        "stage1_allgather_bytes_per_step": int(gather_bytes),
+        "assumed_ici_bytes_per_s_per_dir": ici_bytes_per_s,
+        "stage1_ici_seconds_per_step_tp_ring": round(reduce_s, 4),
+        "stage1_ici_seconds_allgather": round(gather_s, 4),
+        "stage1_ici_seconds_ppermute_overlappable": round(perm_s, 4),
+    }
 
 
 def ici_estimate(stage1_report: dict, tp: int,

@@ -53,7 +53,9 @@ def main() -> None:
         audit_stage1,
         audit_stage2,
         check_megatron_invariants,
+        check_sp_invariants,
         ici_estimate,
+        ici_estimate_sp,
     )
     from actionmesh_tpu.parallel.mesh import make_mesh
 
@@ -68,12 +70,25 @@ def main() -> None:
     print(f"Stage II: lowered {s2['lower_s']}s, compiled {s2.get('compile_s')}s,"
           f" summary {json.dumps(s2.get('summary', {}))}")
 
+    # The sequence-parallel layout (r3a projected it better on paper) now
+    # compiles at production shape too: the ring schedule lowers with
+    # chunked partials (same collectives as the flash path on hardware).
+    sp_mesh = make_mesh(n_devices=n_devices, dp=2, tp=2, sp=2)
+    s1_sp = audit_stage1(sp_mesh)
+    s1_sp["name"] = "stage1_denoise_window_sp"
+    s1_sp["mesh"] = {"dp": 2, "tp": 2, "sp": 2}
+    print(f"Stage I (dp2xtp2xsp2): lowered {s1_sp['lower_s']}s, compiled "
+          f"{s1_sp.get('compile_s')}s, summary "
+          f"{json.dumps(s1_sp.get('summary', {}))}")
+
     fails = check_megatron_invariants(s1, tp)
+    fails += check_sp_invariants(s1_sp, sp=2)
     report = {
         "mesh": {"dp": int(dp), "tp": int(tp)},
-        "programs": [s1, s2],
+        "programs": [s1, s2, s1_sp],
         "invariant_failures": fails,
         "ici_estimate": ici_estimate(s1, tp),
+        "ici_estimate_sp": ici_estimate_sp(s1_sp, tp=2, sp=2),
     }
     out_path = os.path.join(REPO, "MULTICHIP_AUDIT.json")
     with open(out_path, "w") as f:

@@ -41,6 +41,45 @@ def test_chunked_bf16_stability():
     assert bool(jnp.all(jnp.isfinite(out.astype(jnp.float32))))
 
 
+def test_chunked_return_stats():
+    """(m, l) from chunked_attention reconstruct the true softmax stats.
+
+    The stats contract (shared with flash_attention_pipelined) is what the
+    sequence-parallel ring merge consumes, so it is pinned directly:
+    m = rowwise max of valid scaled scores, l = sum exp(scores - m),
+    both fp32 (B, H, Sq). Exercised with a kv mask and with a q length
+    not divisible by q_chunk (the pad/slice path).
+    """
+    key = jax.random.PRNGKey(4)
+    kq, kk, kv = jax.random.split(key, 3)
+    B, H, Sq, Sk, D = 2, 3, 21, 40, 16  # Sq % q_chunk != 0
+    q = jax.random.normal(kq, (B, H, Sq, D))
+    k = jax.random.normal(kk, (B, H, Sk, D))
+    v = jax.random.normal(kv, (B, H, Sk, D))
+    kv_mask = jnp.arange(Sk)[None, :] < jnp.array([[33], [17]])
+
+    out, (m, l) = chunked_attention(
+        q, k, v, kv_mask=kv_mask, q_chunk=8, k_chunk=16, return_stats=True
+    )
+    assert m.shape == l.shape == (B, H, Sq)
+    assert m.dtype == l.dtype == jnp.float32
+
+    scale = D ** -0.5
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    scores = jnp.where(kv_mask[:, None, None, :], scores, -jnp.inf)
+    m_ref = scores.max(axis=-1)
+    l_ref = jnp.exp(scores - m_ref[..., None]).sum(axis=-1)
+    np.testing.assert_allclose(np.asarray(m), np.asarray(m_ref), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(l), np.asarray(l_ref), rtol=1e-5, atol=1e-5
+    )
+    # and the normalized output is unchanged by requesting stats
+    out_plain = chunked_attention(
+        q, k, v, kv_mask=kv_mask, q_chunk=8, k_chunk=16
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_plain))
+
+
 def test_flash_interpret_mode_matches_naive():
     """Pallas kernel in interpreter mode (CPU) vs naive attention."""
     from actionmesh_tpu.ops import flash_attention as fa

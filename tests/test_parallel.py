@@ -238,6 +238,33 @@ def test_sp_ring_flash_with_kv_mask():
     )
 
 
+def test_sp_ring_chunked_matches_unsharded():
+    """The sp ring also merges partials from the pure-XLA chunked kernel.
+
+    This is what lets the production-shape GSPMD audit lower the sp
+    layout off-TPU (parallel/audit.py) — flash cannot trace at 33k
+    sequence in interpret mode. Mask crosses the shard boundary so ring
+    steps see differing validity.
+    """
+    from actionmesh_tpu.ops.attention import dot_product_attention
+
+    B, H, S, D = 2, 4, 256, 16
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(13), 3)
+    q = jax.random.normal(kq, (B, H, S, D), jnp.float32)
+    k = jax.random.normal(kk, (B, H, S, D), jnp.float32)
+    v = jax.random.normal(kv, (B, H, S, D), jnp.float32)
+    kv_mask = jnp.arange(S)[None, :] < jnp.array([[201], [77]])
+
+    ref = dot_product_attention(q, k, v, kv_mask=kv_mask, impl="chunked")
+    mesh = make_mesh(8, dp=2, tp=2, sp=2)
+    out = dot_product_attention(
+        q, k, v, kv_mask=kv_mask, impl="chunked", mesh=mesh
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_sp_denoise_window_matches_unsharded():
     """Full denoise step with dp x sp sharding == unsharded (ring path)."""
     params = init_denoiser(jax.random.PRNGKey(0), CFG)
@@ -394,3 +421,31 @@ def test_production_shape_collective_audit():
     est = ici_estimate(report, tp=4)
     # tp-ring serial bound must leave room under the 3.89 s single-chip step
     assert est["stage1_ici_seconds_per_step_tp_ring"] < 1.0, est
+
+
+@pytest.mark.slow
+def test_production_shape_sp_collective_audit():
+    """Same production-shape GSPMD audit for the dp2 x tp2 x sp2 layout.
+
+    The sequence-parallel ring lowers at production shape with chunked
+    partials (chunked_attention return_stats) — the invariants pin the
+    ring KV ppermutes (one k+v rotation per inflated layer), no
+    full-sequence activation all-gather, and intact Megatron reduces.
+    The measured structure (r3c MULTICHIP_AUDIT): reduces halve vs tp4
+    (tp2 groups), plus a per-layer spatial-attention reshard gather
+    (2049 tokens/frame is odd — that attention cannot ring).
+    """
+    from actionmesh_tpu.parallel.audit import (
+        audit_stage1,
+        check_sp_invariants,
+        ici_estimate_sp,
+    )
+
+    mesh = make_mesh(8, dp=2, tp=2, sp=2)
+    report = audit_stage1(mesh, n_steps=5, compile=True)
+    fails = check_sp_invariants(report, sp=2)
+    assert not fails, "\n".join(fails)
+    est = ici_estimate_sp(report, tp=2, sp=2)
+    # the layout's raison d'etre: serial reduce wire-time well under tp4's
+    assert est["stage1_ici_seconds_per_step_tp_ring"] < 0.3, est
+    assert est["stage1_ici_seconds_allgather"] < 0.1, est
