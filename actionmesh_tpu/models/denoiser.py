@@ -150,6 +150,7 @@ def denoiser_forward(
     attn_impl: str = "auto",
     mesh=None,
     uncond_batch: int = 0,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """One denoising step (velocity prediction).
 
@@ -163,6 +164,9 @@ def denoiser_forward(
         uncond_batch: leading batch entries whose context is all-zero (CFG
             unconditional-image branches) — their cross-attention reduces
             to a constant and can be skipped (layers.attention lever).
+        remat: rematerialize each block under ``jax.checkpoint`` — trades
+            FLOPs for HBM so the *training* backward pass fits; identical
+            forward values (training/flow_train.py pins this).
 
     Returns:
         (B, T, N, D_in) predicted velocity.
@@ -204,19 +208,31 @@ def denoiser_forward(
     for layer, block_params in enumerate(params["blocks"]):
         skip = None if layer <= half else skips.pop()
         inflate = T if layer in cfg.inflated_layers else None
-        x = flow_matching_block(
+
+        def apply_block(bp, x, skip, ctx, freqs, _inflate=inflate):
+            return flow_matching_block(
+                bp,
+                x,
+                num_attention_heads=cfg.num_attention_heads,
+                encoder_hidden_states=ctx,
+                freqs_rot=freqs,
+                skip=skip,
+                inflate_n_frames=_inflate,
+                attn_impl=attn_impl,
+                rope_layout="half",
+                gelu_approx=cfg.gelu_approx,
+                mesh=mesh,
+                uncond_prefix=uncond_batch * T,  # batch-major merge_batch_time
+            )
+
+        if remat:
+            apply_block = jax.checkpoint(apply_block)
+        x = apply_block(
             block_params,
             x,
-            num_attention_heads=cfg.num_attention_heads,
-            encoder_hidden_states=context_merged,
-            freqs_rot=freqs_rot if inflate is not None else None,
-            skip=skip,
-            inflate_n_frames=inflate,
-            attn_impl=attn_impl,
-            rope_layout="half",
-            gelu_approx=cfg.gelu_approx,
-            mesh=mesh,
-            uncond_prefix=uncond_batch * T,  # batch-major merge_batch_time
+            skip,
+            context_merged,
+            freqs_rot if inflate is not None else None,
         )
         if layer < half:
             skips.append(x)

@@ -1,0 +1,34 @@
+"""Flow-matching training for the ActionMesh cascade (TPU-native SPMD).
+
+The reference is strictly inference-only — SURVEY.md §2.4 / §4: no training
+code, no optimizer, no distributed execution anywhere in the tree. This
+package supplies the missing training path as a first-class capability of
+the TPU framework: rectified-flow loss matched to the inference sampler's
+conventions, bf16 compute over fp32 master params, per-block
+rematerialization, and a jitted optimizer step that runs sharded over the
+same dp x tp mesh the inference stack uses (parallel/mesh.py).
+"""
+
+from actionmesh_tpu.training.checkpoint import (
+    restore_train_state,
+    save_train_state,
+)
+from actionmesh_tpu.training.flow_train import (
+    cast_params_for_compute,
+    flow_matching_loss,
+    init_train_state,
+    make_train_step,
+    masked_velocity_mse,
+    sample_flow_sigma,
+)
+
+__all__ = [
+    "cast_params_for_compute",
+    "flow_matching_loss",
+    "init_train_state",
+    "make_train_step",
+    "masked_velocity_mse",
+    "restore_train_state",
+    "sample_flow_sigma",
+    "save_train_state",
+]

@@ -1,0 +1,236 @@
+"""Training-path tests: rectified-flow loss, remat exactness, SPMD step.
+
+The reference has no training code at all (SURVEY.md §4); these tests pin
+the semantics of the training capability this framework adds on top of
+reference parity.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from actionmesh_tpu.models.denoiser import DenoiserConfig, init_denoiser
+from actionmesh_tpu.parallel.mesh import (
+    batch_sharding,
+    denoiser_param_shardings,
+    make_mesh,
+    shard_params,
+)
+from actionmesh_tpu.training import (
+    cast_params_for_compute,
+    flow_matching_loss,
+    init_train_state,
+    make_train_step,
+    masked_velocity_mse,
+    sample_flow_sigma,
+)
+
+TINY = DenoiserConfig(
+    num_tokens_nominal=8,
+    temporal_context_size=4,
+    in_channels=4,
+    num_layers=3,
+    num_attention_heads=4,
+    width=32,
+    mlp_ratio=2.0,
+    cross_attention_dim=16,
+    inflated_layers=(0, 1, 2),
+    gelu_approx=False,
+)
+
+
+def tiny_batch(key, B=2, T=4, N=8, C=4, S=3, D_ctx=16, with_mask=True):
+    k1, k2 = jax.random.split(key)
+    batch = {
+        "latents": jax.random.normal(k1, (B, T, N, C), jnp.float32),
+        "context": jax.random.normal(k2, (B, T, S, D_ctx), jnp.float32),
+        "framestep": jnp.tile(jnp.arange(T, dtype=jnp.float32)[None], (B, 1)),
+    }
+    if with_mask:
+        batch["mask"] = jnp.concatenate(
+            [jnp.ones((B, 1), jnp.float32), jnp.zeros((B, T - 1), jnp.float32)],
+            axis=1,
+        )
+    return batch
+
+
+def test_sigma_sampling_range_and_shift_density():
+    sig = sample_flow_sigma(jax.random.PRNGKey(0), 4096, shift=3.0)
+    assert float(sig.min()) > 0.0 and float(sig.max()) <= 1.0
+    # the shift-3 map pushes mass toward sigma=1 (the noisy end)
+    assert float((sig > 0.5).mean()) > 0.6
+
+
+def test_masked_velocity_mse_excludes_conditioning_frames():
+    v = jnp.zeros((1, 3, 2, 2))
+    target = jnp.stack(
+        [jnp.full((2, 2), 10.0), jnp.ones((2, 2)), jnp.ones((2, 2))]
+    )[None]
+    mask = jnp.asarray([[1.0, 0.0, 0.0]])  # frame 0 (the error-10 one) masked
+    np.testing.assert_allclose(
+        float(masked_velocity_mse(v, target, mask)), 1.0, rtol=1e-6
+    )
+    # all-masked batches are defined (0), not NaN
+    assert float(masked_velocity_mse(v, target, jnp.ones((1, 3)))) == 0.0
+    # no mask: plain mean
+    np.testing.assert_allclose(
+        float(masked_velocity_mse(v, target, None)), (100.0 + 1 + 1) / 3, rtol=1e-6
+    )
+
+
+def test_loss_decreases_overfitting_one_batch():
+    params = init_denoiser(jax.random.PRNGKey(0), TINY)
+    batch = tiny_batch(jax.random.PRNGKey(1))
+    optimizer = optax.adamw(1e-3)
+    step = make_train_step(TINY, optimizer, p_uncond=0.0, remat=False)
+    state = init_train_state(params, optimizer)
+    key = jax.random.PRNGKey(7)  # FIXED noise/time draw: pure optimization
+    first = None
+    for _ in range(40):
+        state, loss = step(state, batch, key)
+        if first is None:
+            first = float(loss)
+    assert int(state["step"]) == 40
+    assert float(loss) < 0.5 * first, (first, float(loss))
+
+
+def test_remat_forward_and_grads_match():
+    params = init_denoiser(jax.random.PRNGKey(0), TINY)
+    batch = tiny_batch(jax.random.PRNGKey(1))
+    key = jax.random.PRNGKey(2)
+
+    def loss(p, remat):
+        return flow_matching_loss(
+            p, TINY, batch, key, p_uncond=0.0, remat=remat
+        )
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(p, False))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(p, True))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
+        g0,
+        g1,
+    )
+
+
+def test_compute_dtype_cast_keeps_norms_fp32():
+    params = init_denoiser(jax.random.PRNGKey(0), TINY)
+    cast = cast_params_for_compute(params, jnp.bfloat16)
+    assert cast["proj_in"]["kernel"].dtype == jnp.bfloat16
+    assert cast["blocks"][0]["ff"]["net_0"]["kernel"].dtype == jnp.bfloat16
+    assert cast["norm_out"]["scale"].dtype == jnp.float32
+    assert cast["blocks"][0]["norm_s_attn"]["scale"].dtype == jnp.float32
+    assert cast["blocks"][0]["s_attn"]["norm_q"]["scale"].dtype == jnp.float32
+
+
+@pytest.mark.slow
+def test_sharded_train_step_matches_unsharded():
+    params = init_denoiser(jax.random.PRNGKey(0), TINY)
+    batch = tiny_batch(jax.random.PRNGKey(1))
+    key = jax.random.PRNGKey(3)
+    optimizer = optax.adamw(1e-3)
+
+    # unsharded reference trajectory (on a copy: the donated step consumes
+    # its input buffers, and the sharded run below needs the originals)
+    step = make_train_step(TINY, optimizer, p_uncond=0.0)
+    state = init_train_state(jax.tree.map(jnp.copy, params), optimizer)
+    losses = []
+    for _ in range(2):
+        state, loss = step(state, batch, key)
+        losses.append(float(loss))
+
+    # dp2 x tp4 over the virtual 8-device mesh
+    mesh = make_mesh(n_devices=8)
+    sh_params = shard_params(params, denoiser_param_shardings(params, mesh))
+    sh_batch = {
+        k: jax.device_put(v, batch_sharding(mesh)) for k, v in batch.items()
+    }
+    sh_step = make_train_step(TINY, optimizer, p_uncond=0.0, mesh=mesh)
+    sh_state = init_train_state(
+        sh_params, optimizer,
+        param_shardings=denoiser_param_shardings(params, mesh),
+    )
+    sh_losses = []
+    for _ in range(2):
+        sh_state, loss = sh_step(sh_state, sh_batch, key)
+        sh_losses.append(float(loss))
+
+    np.testing.assert_allclose(sh_losses, losses, rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+        ),
+        sh_state["params"],
+        state["params"],
+    )
+
+
+@pytest.mark.slow
+def test_optimizer_state_inherits_param_shardings():
+    mesh = make_mesh(n_devices=8)
+    params = init_denoiser(jax.random.PRNGKey(0), TINY)
+    sh = denoiser_param_shardings(params, mesh)
+    params = shard_params(params, sh)
+    state = init_train_state(params, optax.adamw(1e-3), param_shardings=sh)
+    mu = state["opt_state"][0].mu
+    leaf = ("blocks", 0, "s_attn", "to_q", "kernel")
+
+    def get(tree):
+        x = tree
+        for k in leaf:
+            x = x[k]
+        return x
+
+    assert get(mu).sharding.spec == get(sh).spec
+
+
+def test_checkpoint_resume_continues_identically(tmp_path):
+    from actionmesh_tpu.training.checkpoint import (
+        restore_train_state,
+        save_train_state,
+    )
+
+    params = init_denoiser(jax.random.PRNGKey(0), TINY)
+    batch = tiny_batch(jax.random.PRNGKey(1))
+    key = jax.random.PRNGKey(7)
+    optimizer = optax.adamw(1e-3)
+    step = make_train_step(TINY, optimizer, p_uncond=0.0, remat=False)
+
+    state = init_train_state(jax.tree.map(jnp.copy, params), optimizer)
+    for _ in range(2):
+        state, _ = step(state, batch, key)
+    save_train_state(state, tmp_path / "ckpt.npz")
+    state_cont, loss_cont = step(state, batch, key)
+
+    template = init_train_state(params, optimizer)
+    resumed = restore_train_state(tmp_path / "ckpt.npz", template)
+    assert int(resumed["step"]) == 2
+    state_res, loss_res = step(resumed, batch, key)
+    np.testing.assert_allclose(float(loss_res), float(loss_cont), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+        ),
+        state_res["params"],
+        state_cont["params"],
+    )
+
+
+def test_checkpoint_shape_mismatch_fails_fast(tmp_path):
+    from actionmesh_tpu.training.checkpoint import (
+        restore_train_state,
+        save_train_state,
+    )
+
+    optimizer = optax.adamw(1e-3)
+    state = init_train_state(init_denoiser(jax.random.PRNGKey(0), TINY), optimizer)
+    save_train_state(state, tmp_path / "ckpt.npz")
+    other_cfg = DenoiserConfig(**{**TINY.__dict__, "width": 64})
+    template = init_train_state(
+        init_denoiser(jax.random.PRNGKey(0), other_cfg), optimizer
+    )
+    with pytest.raises(ValueError, match="shape"):
+        restore_train_state(tmp_path / "ckpt.npz", template)
