@@ -153,7 +153,8 @@ def embed_queries(cfg: AutoencoderConfig, query: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "attn_impl", "compute_dtype", "mesh")
+    jax.jit,
+    static_argnames=("cfg", "attn_impl", "compute_dtype", "mesh", "remat"),
 )
 def autoencoder_forward(
     params: Params,
@@ -166,6 +167,7 @@ def autoencoder_forward(
     attn_impl: str = "auto",
     compute_dtype: jnp.dtype = jnp.float32,
     mesh=None,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Decode latents into per-vertex displacements for all target timesteps.
 
@@ -231,17 +233,22 @@ def autoencoder_forward(
         sin_b = jnp.repeat(sin, T_out, axis=0)
 
     # -- KV stack: self-attention blocks (compute dtype)
-    for block_params in params["blocks"][:-1]:
-        x = flow_matching_block(
-            block_params,
+    def apply_block(bp, x, freqs):
+        return flow_matching_block(
+            bp,
             x,
             num_attention_heads=cfg.num_attention_heads,
-            freqs_rot=(cos_b, sin_b),
+            freqs_rot=freqs,
             attn_impl=attn_impl,
             rope_layout="half",
             gelu_approx=cfg.gelu_approx,
             mesh=mesh,
         )
+
+    if remat:
+        apply_block = jax.checkpoint(apply_block)
+    for block_params in params["blocks"][:-1]:
+        x = apply_block(block_params, x, (cos_b, sin_b))
 
     # -- Final cross-attention with vertex queries (float32 island)
     kv_cache = x.astype(jnp.float32)

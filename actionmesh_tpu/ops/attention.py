@@ -223,9 +223,18 @@ def _sharded_attention(q, k, v, scale, kv_mask, mesh, impl):
     from jax.experimental.shard_map import shard_map
     from actionmesh_tpu.ops.flash_attention import flash_attention_pipelined
 
-    local = (
-        flash_attention_pipelined if impl == "flash" else chunked_attention
-    )
+    if impl == "flash_train":
+        from actionmesh_tpu.ops.flash_attention_bwd import (
+            flash_attention_trainable,
+        )
+
+        def local(q_, k_, v_, scale=None, kv_mask=None):
+            assert kv_mask is None
+            return flash_attention_trainable(q_, k_, v_, scale)
+    else:
+        local = (
+            flash_attention_pipelined if impl == "flash" else chunked_attention
+        )
     axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
     B, H, Sq = q.shape[0], q.shape[1], q.shape[2]
     Sk = k.shape[2]
@@ -302,6 +311,28 @@ def dot_product_attention(
     """
     if impl == "auto":
         impl = "flash" if jax.default_backend() == "tpu" else "chunked"
+    if impl == "auto_train":
+        impl = "flash_train" if jax.default_backend() == "tpu" else "chunked"
+    if impl == "flash_train":
+        # Differentiable flash: Pallas forward + Pallas backward
+        # (ops/flash_attention_bwd.py). The external-kv-mask and sp-ring
+        # variants fall back to the (differentiable) chunked path.
+        if kv_mask is not None:
+            impl = "chunked"
+        elif mesh is not None:
+            axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+            if axis_sizes.get("sp", 1) > 1:
+                impl = "chunked"
+    if impl == "flash_train":
+        from actionmesh_tpu.ops.flash_attention_bwd import (
+            flash_attention_trainable,
+        )
+
+        if mesh is not None:
+            return _sharded_attention(
+                q, k, v, scale, None, mesh, "flash_train"
+            )
+        return flash_attention_trainable(q, k, v, scale)
     if impl == "flash":
         from actionmesh_tpu.ops.flash_attention import flash_attention_pipelined
 

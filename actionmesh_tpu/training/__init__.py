@@ -9,6 +9,11 @@ rematerialization, and a jitted optimizer step that runs sharded over the
 same dp x tp mesh the inference stack uses (parallel/mesh.py).
 """
 
+from actionmesh_tpu.training.decoder_train import (
+    decoder_loss,
+    make_decoder_train_step,
+    masked_position_mse,
+)
 from actionmesh_tpu.training.checkpoint import (
     restore_train_state,
     save_train_state,
@@ -24,6 +29,9 @@ from actionmesh_tpu.training.flow_train import (
 
 __all__ = [
     "cast_params_for_compute",
+    "decoder_loss",
+    "make_decoder_train_step",
+    "masked_position_mse",
     "flow_matching_loss",
     "init_train_state",
     "make_train_step",

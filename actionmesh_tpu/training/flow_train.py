@@ -24,9 +24,9 @@ matching the inference precision islands); every block rematerializes under
 ``jax.checkpoint`` so the 33k-token backward fits HBM; batch shards over
 ``dp``, Megatron tp shardings (parallel/mesh.py) propagate through
 ``value_and_grad`` and GSPMD inserts the gradient all-reduces over ICI.
-Attention uses the chunked XLA path (ops/attention.chunked_attention),
-which is differentiable end-to-end; a Pallas flash *backward* kernel is the
-known follow-up for peak training MFU.
+Attention defaults to ``auto_train``: the Pallas flash forward + Pallas
+flash backward (ops/flash_attention_bwd.py) on TPU, the differentiable
+chunked-XLA path off-TPU — both O(S) memory at the 33k-token sequence.
 """
 
 from __future__ import annotations
@@ -99,7 +99,7 @@ def flow_matching_loss(
     p_uncond: float = 0.1,
     shift: float = 3.0,
     num_train_timesteps: float = 1000.0,
-    attn_impl: str = "chunked",
+    attn_impl: str = "auto_train",
     mesh=None,
     remat: bool = True,
     compute_dtype: Optional[jnp.dtype] = None,
@@ -210,7 +210,7 @@ def make_train_step(
     *,
     p_uncond: float = 0.1,
     shift: float = 3.0,
-    attn_impl: str = "chunked",
+    attn_impl: str = "auto_train",
     mesh=None,
     remat: bool = True,
     compute_dtype: Optional[jnp.dtype] = None,

@@ -234,3 +234,69 @@ def test_checkpoint_shape_mismatch_fails_fast(tmp_path):
     )
     with pytest.raises(ValueError, match="shape"):
         restore_train_state(tmp_path / "ckpt.npz", template)
+
+
+# ---------------------------------------------------------------------------
+# Stage-II decoder trainer
+# ---------------------------------------------------------------------------
+
+from actionmesh_tpu.models.autoencoder import (  # noqa: E402
+    AutoencoderConfig,
+    init_autoencoder,
+)
+from actionmesh_tpu.training import (  # noqa: E402
+    make_decoder_train_step,
+    masked_position_mse,
+)
+
+TINY_AE = AutoencoderConfig(
+    temporal_context_size=4,
+    latent_channels=4,
+    width=32,
+    num_layers=3,
+    num_attention_heads=4,
+    gelu_approx=False,
+)
+
+
+def tiny_decoder_batch(key, B=1, T=4, N=8, C=4, T_out=3, V=12):
+    k1, k2, k3 = jax.random.split(key, 3)
+    mask = jnp.concatenate(
+        [jnp.ones((B, V - 2)), jnp.zeros((B, 2))], axis=1
+    )  # last 2 rows are bucket padding
+    return {
+        "latents": jax.random.normal(k1, (B, T, N, C), jnp.float32),
+        "framestep": jnp.tile(jnp.arange(T, dtype=jnp.float32)[None], (B, 1)),
+        "source_alpha": jnp.zeros((B,), jnp.float32),
+        "target_alphas": jnp.tile(
+            jnp.linspace(0.25, 1.0, T_out)[None], (B, 1)
+        ),
+        "query": jax.random.uniform(k2, (B, V, 6), minval=-1, maxval=1),
+        "positions": jnp.tanh(jax.random.normal(k3, (B, T_out, V, 3))),
+        "vertex_mask": mask,
+    }
+
+
+def test_masked_position_mse_ignores_padding():
+    pred = jnp.zeros((1, 2, 3, 3))
+    target = jnp.stack(
+        [jnp.zeros((2, 3)), jnp.ones((2, 3)), jnp.full((2, 3), 9.0)]
+    , axis=1)[None]  # vertex 2 has error 81 but is padding
+    mask = jnp.asarray([[1.0, 1.0, 0.0]])
+    np.testing.assert_allclose(
+        float(masked_position_mse(pred, target, mask)), 0.5, rtol=1e-6
+    )
+
+
+def test_decoder_loss_decreases_overfitting_one_batch():
+    params = init_autoencoder(jax.random.PRNGKey(0), TINY_AE)
+    batch = tiny_decoder_batch(jax.random.PRNGKey(1))
+    optimizer = optax.adamw(3e-3)
+    step = make_decoder_train_step(TINY_AE, optimizer, remat=True)
+    state = init_train_state(params, optimizer)
+    first = None
+    for _ in range(60):
+        state, loss = step(state, batch)
+        if first is None:
+            first = float(loss)
+    assert float(loss) < 0.4 * first, (first, float(loss))
