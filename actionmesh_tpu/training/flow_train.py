@@ -182,12 +182,16 @@ def init_train_state(
     params,
     optimizer: optax.GradientTransformation,
     param_shardings=None,
+    ema_decay: Optional[float] = None,
 ) -> dict:
-    """{'params', 'opt_state', 'step'}.
+    """{'params', 'opt_state', 'step'[, 'ema_params']}.
 
     With ``param_shardings`` given, the Adam moments are laid out with the
     same tp shardings as the params they mirror — each device materializes
-    only its shard, no host-side replication round-trip."""
+    only its shard, no host-side replication round-trip. ``ema_decay``
+    adds an exponential-moving-average shadow of the params (the weights a
+    diffusion sampler actually runs); pass the same value to
+    ``make_train_step``."""
     if param_shardings is not None:
         opt_state = jax.jit(
             optimizer.init,
@@ -197,11 +201,14 @@ def init_train_state(
         )(params)
     else:
         opt_state = jax.jit(optimizer.init)(params)
-    return {
+    state = {
         "params": params,
         "opt_state": opt_state,
         "step": jnp.zeros((), jnp.int32),
     }
+    if ema_decay is not None:
+        state["ema_params"] = jax.tree.map(jnp.copy, params)
+    return state
 
 
 def make_train_step(
@@ -214,6 +221,7 @@ def make_train_step(
     mesh=None,
     remat: bool = True,
     compute_dtype: Optional[jnp.dtype] = None,
+    ema_decay: Optional[float] = None,
 ):
     """Build the jitted SPMD train step: (state, batch, key) -> (state, loss).
 
@@ -221,6 +229,10 @@ def make_train_step(
     buffers. Pass params already placed with
     parallel/mesh.denoiser_param_shardings and the batch with its leading
     axis on ``dp``; sharding propagates through grad/update untouched.
+    ``ema_decay`` (e.g. 0.999) keeps an EMA shadow of the params in the
+    state — init with ``init_train_state(..., ema_decay=...)``. For
+    gradient clipping / schedules, compose the optimizer:
+    ``optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(lr))``.
     """
 
     def loss_fn(params, batch, key):
@@ -244,13 +256,18 @@ def make_train_step(
             grads, state["opt_state"], state["params"]
         )
         new_params = optax.apply_updates(state["params"], updates)
-        return (
-            {
-                "params": new_params,
-                "opt_state": opt_state,
-                "step": state["step"] + 1,
-            },
-            loss,
-        )
+        new_state = {
+            "params": new_params,
+            "opt_state": opt_state,
+            "step": state["step"] + 1,
+        }
+        if ema_decay is not None:
+            new_state["ema_params"] = jax.tree.map(
+                lambda e, p: e * ema_decay
+                + p.astype(e.dtype) * (1.0 - ema_decay),
+                state["ema_params"],
+                new_params,
+            )
+        return new_state, loss
 
     return train_step
