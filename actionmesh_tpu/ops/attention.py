@@ -153,6 +153,105 @@ def chunked_attention(
     return out, (m, l)
 
 
+# ---------------------------------------------------------------------------
+# Trainable chunked attention: O(S)-memory backward in pure XLA
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def chunked_attention_trainable(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+    q_chunk: int = 512,
+    k_chunk: int = 1024,
+) -> jnp.ndarray:
+    """``chunked_attention`` with an O(S)-memory backward.
+
+    Plain autodiff of the KV scan saves per-chunk probability residuals —
+    O(Sq*Sk) total, ~4.3 GB fp32 per (batch, head) at the 33k-token
+    Stage-I sequence (the round-3 training audit measured 1.3 TB of temps
+    at production shape). This custom_vjp recomputes probabilities from
+    the forward's online-softmax stats instead — the same scheme as the
+    Pallas backward (ops/flash_attention_bwd.py), in pure XLA so it runs
+    everywhere. No external kv mask (training needs none)."""
+    return chunked_attention(
+        q, k, v, scale=scale, q_chunk=q_chunk, k_chunk=k_chunk
+    )
+
+
+def _chunked_trainable_fwd(q, k, v, scale, q_chunk, k_chunk):
+    o, (m, l) = chunked_attention(
+        q, k, v, scale=scale, q_chunk=q_chunk, k_chunk=k_chunk,
+        return_stats=True,
+    )
+    return o, (q, k, v, o, m, l)
+
+
+def _chunked_trainable_bwd(scale, q_chunk, k_chunk, res, do):
+    q, k, v, o, m, l = res
+    B, H, Sq, D = q.shape
+    Sk = k.shape[2]
+    if scale is None:
+        scale = D ** -0.5
+
+    lse = jnp.where(
+        l > 0, m + jnp.log(jnp.maximum(l, 1e-30)), jnp.float32(-NEG_INF)
+    )  # (B, H, Sq)
+    dof = do.astype(jnp.float32)
+    delta = jnp.sum(dof * o.astype(jnp.float32), axis=-1)  # (B, H, Sq)
+
+    kp, _ = _pad_axis(k, 2, k_chunk)
+    vp, _ = _pad_axis(v, 2, k_chunk)
+    valid = jnp.ones((B, Sk), dtype=bool)
+    valid, _ = _pad_axis(valid, 1, k_chunk)  # pad with False
+    n_k = kp.shape[2] // k_chunk
+    k_blocks = jnp.moveaxis(kp.reshape(B, H, n_k, k_chunk, D), 2, 0)
+    v_blocks = jnp.moveaxis(vp.reshape(B, H, n_k, k_chunk, D), 2, 0)
+    m_blocks = jnp.moveaxis(valid.reshape(B, n_k, k_chunk), 1, 0)
+
+    def kv_step(dq, blk):
+        k_b, v_b, msk = blk
+        s = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k_b, preferred_element_type=jnp.float32
+        ) * scale
+        s = jnp.where(msk[:, None, None, :], s, NEG_INF)
+        p = jnp.exp(s - lse[..., None])  # (B, H, Sq, kc) fp32
+        dv_b = jnp.einsum(
+            "bhqk,bhqd->bhkd", p.astype(v.dtype), do,
+            preferred_element_type=jnp.float32,
+        )
+        dp = jnp.einsum(
+            "bhqd,bhkd->bhqk", do, v_b, preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta[..., None]) * scale
+        dq = dq + jnp.einsum(
+            "bhqk,bhkd->bhqd", ds.astype(k.dtype), k_b,
+            preferred_element_type=jnp.float32,
+        )
+        dk_b = jnp.einsum(
+            "bhqk,bhqd->bhkd", ds.astype(q.dtype), q,
+            preferred_element_type=jnp.float32,
+        )
+        return dq, (dk_b, dv_b)
+
+    dq, (dk_blocks, dv_blocks) = jax.lax.scan(
+        kv_step,
+        jnp.zeros((B, H, Sq, D), jnp.float32),
+        (k_blocks, v_blocks, m_blocks),
+    )
+    dk = jnp.moveaxis(dk_blocks, 0, 2).reshape(B, H, n_k * k_chunk, D)
+    dv = jnp.moveaxis(dv_blocks, 0, 2).reshape(B, H, n_k * k_chunk, D)
+    return (
+        dq.astype(q.dtype),
+        dk[:, :, :Sk].astype(k.dtype),
+        dv[:, :, :Sk].astype(v.dtype),
+    )
+
+
+chunked_attention_trainable.defvjp(_chunked_trainable_fwd, _chunked_trainable_bwd)
+
+
 def ring_attention_local(q, k, v, scale, kv_mask, axis_name, sp,
                          impl: str = "flash"):
     """Sequence-parallel attention inside shard_map (ring schedule).
@@ -231,6 +330,10 @@ def _sharded_attention(q, k, v, scale, kv_mask, mesh, impl):
         def local(q_, k_, v_, scale=None, kv_mask=None):
             assert kv_mask is None
             return flash_attention_trainable(q_, k_, v_, scale)
+    elif impl == "chunked_train":
+        def local(q_, k_, v_, scale=None, kv_mask=None):
+            assert kv_mask is None
+            return chunked_attention_trainable(q_, k_, v_, scale)
     else:
         local = (
             flash_attention_pipelined if impl == "flash" else chunked_attention
@@ -312,17 +415,29 @@ def dot_product_attention(
     if impl == "auto":
         impl = "flash" if jax.default_backend() == "tpu" else "chunked"
     if impl == "auto_train":
-        impl = "flash_train" if jax.default_backend() == "tpu" else "chunked"
-    if impl == "flash_train":
-        # Differentiable flash: Pallas forward + Pallas backward
-        # (ops/flash_attention_bwd.py). The external-kv-mask and sp-ring
-        # variants fall back to the (differentiable) chunked path.
+        impl = (
+            "flash_train"
+            if jax.default_backend() == "tpu"
+            else "chunked_train"
+        )
+    if impl in ("flash_train", "chunked_train"):
+        # Differentiable fused attention with an O(S) backward: Pallas
+        # fwd+bwd on TPU (ops/flash_attention_bwd.py), the custom_vjp
+        # chunked-XLA pair elsewhere. External-kv-mask and sp-ring
+        # variants fall back to the plain chunked path (differentiable but
+        # with O(Sq*Sk) autodiff residuals — training uses neither).
         if kv_mask is not None:
             impl = "chunked"
         elif mesh is not None:
             axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
             if axis_sizes.get("sp", 1) > 1:
                 impl = "chunked"
+    if impl == "chunked_train":
+        if mesh is not None:
+            return _sharded_attention(q, k, v, scale, None, mesh, "chunked_train")
+        return chunked_attention_trainable(
+            q, k, v, scale, q_chunk, k_chunk
+        )
     if impl == "flash_train":
         from actionmesh_tpu.ops.flash_attention_bwd import (
             flash_attention_trainable,

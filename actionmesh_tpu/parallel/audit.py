@@ -220,6 +220,135 @@ def audit_stage2(mesh, compile: bool = True) -> dict:
     return report
 
 
+def audit_train_step(mesh, compile: bool = True) -> dict:
+    """Lower (+ GSPMD-compile) the production TRAINING step: rectified-flow
+    loss + grad + adamw over the full 21-layer width-2048 denoiser at seq
+    32,784, remat on, fp32 masters + bf16 compute, batch over dp, params/
+    moments over tp. Certifies that the 1.26B-param training program
+    partitions and that its per-device buffers fit a v5e (16 GB)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from actionmesh_tpu.models.denoiser import DenoiserConfig, init_denoiser
+    from actionmesh_tpu.parallel.mesh import (
+        batch_sharding,
+        denoiser_param_shardings,
+        replicated,
+    )
+    from actionmesh_tpu.training.flow_train import (
+        make_train_step,
+        optimizer_state_shardings,
+    )
+
+    dcfg = DenoiserConfig()  # production
+    dp = dict(zip(mesh.axis_names, mesh.devices.shape)).get("dp", 1)
+    B, T, N = max(2, dp), 16, dcfg.num_tokens_nominal
+    S = 257
+
+    params = abstract_sharded_params(
+        lambda: init_denoiser(jax.random.PRNGKey(0), dcfg),  # fp32 masters
+        denoiser_param_shardings, mesh,
+    )
+    optimizer = optax.adamw(1e-4)
+    opt_shapes = jax.eval_shape(optimizer.init, params)
+    opt_shardings = optimizer_state_shardings(
+        params, denoiser_param_shardings(params, mesh), optimizer
+    )
+    opt_state = jax.tree.map(
+        lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
+        opt_shapes, opt_shardings,
+    )
+    sds = jax.ShapeDtypeStruct
+    state = {
+        "params": params,
+        "opt_state": opt_state,
+        "step": sds((), jnp.int32, sharding=replicated(mesh)),
+    }
+    bsh = batch_sharding(mesh)
+    batch = {
+        "latents": sds((B, T, N, dcfg.in_channels), jnp.float32, sharding=bsh),
+        "context": sds(
+            (B, T, S, dcfg.cross_attention_dim), jnp.bfloat16, sharding=bsh
+        ),
+        "framestep": sds((B, T), jnp.float32, sharding=bsh),
+        "mask": sds((B, T), jnp.float32, sharding=bsh),
+    }
+    step = make_train_step(
+        dcfg, optimizer, mesh=mesh, attn_impl="chunked_train",
+        compute_dtype=jnp.bfloat16, remat=True,
+    )
+    t0 = time.time()
+    lowered = step.lower(state, batch, sds((2,), jnp.uint32))
+    report = {
+        "name": "stage1_train_step",
+        "shapes": {"B": B, "T": T, "N": N, "width": dcfg.width,
+                   "seq": T * (N + 1), "layers": dcfg.num_layers,
+                   "masters": "fp32", "compute": "bf16", "remat": True},
+        "lower_s": round(time.time() - t0, 1),
+    }
+    if compile:
+        t0 = time.time()
+        compiled = lowered.compile()
+        report["compile_s"] = round(time.time() - t0, 1)
+        colls = parse_collectives(compiled.as_text())
+        report["collectives"] = colls
+        report["summary"] = summarize_collectives(colls)
+        report["memory"] = memory_dict(compiled.memory_analysis())
+    return report
+
+
+def check_train_invariants(train_report: dict, tp: int) -> list[str]:
+    """Failures list (empty = pass) for the production training step:
+      * reduce traffic at least the forward Megatron floor (backward adds
+        the mirror-image reduces on top),
+      * NO full-sequence activation all-gather, and
+      * per-device ARGUMENT bytes (sharded fp32 masters + Adam moments +
+        batch) within a 16 GB v5e budget with headroom for activations.
+
+    Temp bytes are reported but not asserted: the XLA:CPU buffer
+    assignment does not reuse buffers across the sequentially-executed
+    per-block backwards (measured 104 GB for a program whose live set
+    under remat is a few GB; the TPU assignment differs — same caveat as
+    the r3c sp-layout audit). The authoritative activation-memory datum
+    is the on-chip training-step run (scripts/bench_train.py).
+    """
+    fails: list[str] = []
+    if "collectives" not in train_report:
+        return ["train step was not compiled — no collectives to audit"]
+    sh = train_report["shapes"]
+    full_act_bytes = 2 * sh["seq"] * sh["width"] * 2
+    reduce_bytes = sum(
+        c["bytes"] for c in train_report["collectives"]
+        if c["kind"] in ("all-reduce", "reduce-scatter")
+    )
+    fwd_floor = sh["layers"] * 3 * (full_act_bytes // 2)
+    if reduce_bytes < fwd_floor:
+        fails.append(
+            f"train: reduce traffic {reduce_bytes / 1e9:.1f} GB below the "
+            f"forward Megatron floor {fwd_floor / 1e9:.1f} GB — tp "
+            f"partitioning missing in fwd or bwd"
+        )
+    big_ag = [c for c in train_report["collectives"]
+              if c["kind"] == "all-gather" and c["bytes"] >= full_act_bytes]
+    if big_ag:
+        fails.append(
+            "train: full-sequence activation all-gather present: "
+            + ", ".join(
+                f"{c['shape']} ({c['bytes'] / 1e6:.0f} MB)" for c in big_ag[:5]
+            )
+        )
+    mem = train_report.get("memory", {})
+    args = mem.get("argument_size_in_bytes", 0)
+    if args > 10e9:
+        fails.append(
+            f"train: per-device argument bytes {args / 1e9:.1f} GB leave "
+            f"<6 GB activation headroom on a 16 GB v5e — param/moment "
+            f"sharding regressed"
+        )
+    return fails
+
+
 def check_megatron_invariants(stage1_report: dict, tp: int) -> list[str]:
     """Failures list (empty = pass):
       * enough all-reduce/reduce-scatter traffic that the 3 row-parallel

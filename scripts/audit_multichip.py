@@ -52,8 +52,10 @@ def main() -> None:
     from actionmesh_tpu.parallel.audit import (
         audit_stage1,
         audit_stage2,
+        audit_train_step,
         check_megatron_invariants,
         check_sp_invariants,
+        check_train_invariants,
         ici_estimate,
         ici_estimate_sp,
     )
@@ -81,11 +83,19 @@ def main() -> None:
           f"{s1_sp.get('compile_s')}s, summary "
           f"{json.dumps(s1_sp.get('summary', {}))}")
 
+    # Training step (the framework's beyond-reference capability) at
+    # production shape: fwd+bwd+adamw partitioning + memory certification.
+    tr = audit_train_step(mesh)
+    print(f"Train step: lowered {tr['lower_s']}s, compiled "
+          f"{tr.get('compile_s')}s, summary "
+          f"{json.dumps(tr.get('summary', {}))}")
+
     fails = check_megatron_invariants(s1, tp)
     fails += check_sp_invariants(s1_sp, sp=2)
+    fails += check_train_invariants(tr, tp)
     report = {
         "mesh": {"dp": int(dp), "tp": int(tp)},
-        "programs": [s1, s2, s1_sp],
+        "programs": [s1, s2, s1_sp, tr],
         "invariant_failures": fails,
         "ici_estimate": ici_estimate(s1, tp),
         "ici_estimate_sp": ici_estimate_sp(s1_sp, tp=2, sp=2),

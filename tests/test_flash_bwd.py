@@ -175,3 +175,34 @@ def test_flash_train_sharded_grads_match_unsharded():
         g_sh,
         g_ref,
     )
+
+
+def test_chunked_trainable_grads_match_plain_chunked():
+    """The O(S)-backward chunked path == plain-autodiff chunked grads."""
+    from actionmesh_tpu.ops.attention import (
+        chunked_attention,
+        chunked_attention_trainable,
+    )
+
+    q, k, v = make_qkv(jax.random.PRNGKey(7), Sq=300, Sk=300, D=32)
+    scale = q.shape[-1] ** -0.5
+    do = jax.random.normal(jax.random.PRNGKey(8), q.shape, jnp.float32)
+
+    g_plain = jax.grad(
+        lambda q, k, v: jnp.vdot(
+            chunked_attention(q, k, v, scale=scale, q_chunk=128, k_chunk=128),
+            do,
+        ),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    g_train = jax.grad(
+        lambda q, k, v: jnp.vdot(
+            chunked_attention_trainable(q, k, v, scale, 128, 128), do
+        ),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b, name in zip(g_train, g_plain, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5,
+            err_msg=f"d{name}",
+        )

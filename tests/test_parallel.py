@@ -449,3 +449,22 @@ def test_production_shape_sp_collective_audit():
     # the layout's raison d'etre: serial reduce wire-time well under tp4's
     assert est["stage1_ici_seconds_per_step_tp_ring"] < 0.3, est
     assert est["stage1_ici_seconds_allgather"] < 0.1, est
+
+
+@pytest.mark.slow
+def test_production_shape_training_audit():
+    """GSPMD-compile the PRODUCTION training step (loss + grad + adamw over
+    the 1.26B-param denoiser at seq 32784, remat on, fp32 masters + bf16
+    compute) on the virtual dp2 x tp4 mesh: forward AND backward Megatron
+    reduces present, no full-sequence activation all-gather, per-device
+    buffers (sharded masters + moments + remat activations) within 16 GB.
+    """
+    from actionmesh_tpu.parallel.audit import (
+        audit_train_step,
+        check_train_invariants,
+    )
+
+    mesh = make_mesh(8)
+    report = audit_train_step(mesh, compile=True)
+    fails = check_train_invariants(report, tp=4)
+    assert not fails, "\n".join(fails)

@@ -66,6 +66,7 @@ def tiny_pipeline():
     return pipe
 
 
+@pytest.mark.slow
 def test_video_to_4d_16_frames(tiny_pipeline):
     frames = make_frames(16)
     input = ActionMeshInput(
@@ -92,6 +93,7 @@ def test_video_to_4d_ar_windows(tiny_pipeline):
     assert len(meshes) == 18
 
 
+@pytest.mark.slow
 def test_video_to_4d_31_frames_window_boundary_continuity(
     tiny_pipeline, monkeypatch
 ):
@@ -144,6 +146,7 @@ def test_video_to_4d_31_frames_window_boundary_continuity(
     np.testing.assert_array_equal(a0, b0)
 
 
+@pytest.mark.slow
 def test_save_load_native_checkpoint(tiny_pipeline, tmp_path):
     import jax
     import jax.numpy as jnp

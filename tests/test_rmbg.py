@@ -28,6 +28,7 @@ def test_rmbg_forward_shape():
     assert bool(jnp.all(jnp.isfinite(out)))
 
 
+@pytest.mark.slow  # full-width ISNet forward: ~60 s on the 1-core CPU host
 def test_rmbg_predict_alpha_api():
     model = RMBGModel.from_random(seed=0)
     model.cfg = RMBGConfig(input_size=64)

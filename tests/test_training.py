@@ -88,12 +88,12 @@ def test_loss_decreases_overfitting_one_batch():
     state = init_train_state(params, optimizer)
     key = jax.random.PRNGKey(7)  # FIXED noise/time draw: pure optimization
     first = None
-    for _ in range(40):
+    for _ in range(25):
         state, loss = step(state, batch, key)
         if first is None:
             first = float(loss)
-    assert int(state["step"]) == 40
-    assert float(loss) < 0.5 * first, (first, float(loss))
+    assert int(state["step"]) == 25
+    assert float(loss) < 0.7 * first, (first, float(loss))
 
 
 def test_remat_forward_and_grads_match():
@@ -295,11 +295,11 @@ def test_decoder_loss_decreases_overfitting_one_batch():
     step = make_decoder_train_step(TINY_AE, optimizer, remat=True)
     state = init_train_state(params, optimizer)
     first = None
-    for _ in range(60):
+    for _ in range(35):
         state, loss = step(state, batch)
         if first is None:
             first = float(loss)
-    assert float(loss) < 0.4 * first, (first, float(loss))
+    assert float(loss) < 0.6 * first, (first, float(loss))
 
 
 def test_ema_tracks_params():
