@@ -206,3 +206,30 @@ def test_chunked_trainable_grads_match_plain_chunked():
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5,
             err_msg=f"d{name}",
         )
+
+
+@pytest.mark.slow
+def test_chunked_train_sharded_grads_match_unsharded():
+    """The O(S)-backward chunked path under shard_map (dp x tp) under grad
+    — the exact composition the production training audit compiles."""
+    from actionmesh_tpu.ops.attention import dot_product_attention
+    from actionmesh_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_devices=8)
+    B, H, S, D = 2, 8, 256, 32
+    q, k, v = make_qkv(jax.random.PRNGKey(9), B=B, H=H, Sq=S, Sk=S, D=D)
+    do = jax.random.normal(jax.random.PRNGKey(10), q.shape, jnp.float32)
+
+    def loss(q, k, v, mesh):
+        return jnp.vdot(
+            dot_product_attention(q, k, v, impl="chunked_train", mesh=mesh),
+            do,
+        )
+
+    g_ref = jax.grad(loss, argnums=(0, 1, 2))(q, k, v, None)
+    g_sh = jax.grad(loss, argnums=(0, 1, 2))(q, k, v, mesh)
+    for a, b, name in zip(g_sh, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5,
+            err_msg=f"d{name}",
+        )
