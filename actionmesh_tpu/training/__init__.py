@@ -18,6 +18,19 @@ from actionmesh_tpu.training.checkpoint import (
     restore_train_state,
     save_train_state,
 )
+from actionmesh_tpu.training.data import (
+    ClipWindowDataset,
+    DevicePrefetcher,
+    flow_batches,
+    synthesize_clip_dir,
+    write_clip,
+)
+from actionmesh_tpu.training.loop import (
+    TrainLoopConfig,
+    make_optimizer,
+    run_decoder_training,
+    run_flow_training,
+)
 from actionmesh_tpu.training.flow_train import (
     cast_params_for_compute,
     flow_matching_loss,
@@ -28,7 +41,16 @@ from actionmesh_tpu.training.flow_train import (
 )
 
 __all__ = [
+    "ClipWindowDataset",
+    "DevicePrefetcher",
+    "TrainLoopConfig",
     "cast_params_for_compute",
+    "flow_batches",
+    "make_optimizer",
+    "run_decoder_training",
+    "run_flow_training",
+    "synthesize_clip_dir",
+    "write_clip",
     "decoder_loss",
     "make_decoder_train_step",
     "masked_position_mse",

@@ -1,0 +1,244 @@
+#!/usr/bin/env python
+"""Train an ActionMesh-TPU stage from the command line.
+
+The reference is inference-only; this driver exposes the framework's SPMD
+training subsystem (actionmesh_tpu/training/) end to end: clip-directory
+datasets with async device prefetch, rectified-flow (Stage I) or masked
+position MSE (Stage II) steps, warmup+cosine AdamW, EMA, JSONL loss logs,
+and atomic resumable checkpoints.
+
+Examples
+--------
+Smoke-train a tiny Stage-I denoiser on synthetic clips (CPU-friendly):
+  python scripts/train.py --stage flow --synthetic --size tiny \
+      --steps 50 --batch 2 --out /tmp/flow_run
+
+Train at production size on a dp2 x tp4 mesh from a prepared clip dir
+(each .npz: latents (T,N,C), context (T,S,D), framestep (T,) — the
+layout ActionMeshPipeline Stage I consumes; see training/data.py):
+  python scripts/train.py --stage flow --data-dir /data/clips \
+      --window 16 --batch 2 --mesh dp=2,tp=4 --compute-dtype bfloat16
+
+Stage II (decoder) currently trains from synthetic tracked-point batches
+(--synthetic); real decoder data needs (query, positions) vertex tracks in
+the ActionBench layout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def parse_mesh(spec: str):
+    """'dp=2,tp=4[,sp=2]' -> make_mesh kwargs."""
+    kwargs = {}
+    for part in spec.split(","):
+        axis, _, size = part.partition("=")
+        if axis not in ("dp", "tp", "sp") or not size.isdigit():
+            raise argparse.ArgumentTypeError(
+                f"bad mesh spec {spec!r}; expected e.g. dp=2,tp=4"
+            )
+        kwargs[axis] = int(size)
+    return kwargs
+
+
+def build_args() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--stage", choices=("flow", "decoder"), default="flow")
+    p.add_argument("--data-dir", help="directory of clip .npz files (flow stage)")
+    p.add_argument(
+        "--synthetic",
+        action="store_true",
+        help="train on generated synthetic data (smoke tests, benchmarks)",
+    )
+    p.add_argument(
+        "--size",
+        choices=("tiny", "production"),
+        default="tiny",
+        help="model architecture preset",
+    )
+    p.add_argument("--window", type=int, default=8, help="frames per example")
+    p.add_argument("--batch", type=int, default=2)
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--warmup", type=int, default=None, help="default: steps//10")
+    p.add_argument("--clip-norm", type=float, default=1.0)
+    p.add_argument("--weight-decay", type=float, default=0.01)
+    p.add_argument("--ema-decay", type=float, default=0.999)
+    p.add_argument("--p-uncond", type=float, default=0.1)
+    p.add_argument("--compute-dtype", choices=("bfloat16",), default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log-every", type=int, default=10)
+    p.add_argument("--ckpt-every", type=int, default=500)
+    p.add_argument("--out", default="train_out")
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument(
+        "--mesh",
+        type=parse_mesh,
+        default=None,
+        help="shard over a device mesh, e.g. dp=2,tp=4 (omit: single device)",
+    )
+    return p
+
+
+def flow_model_config(size: str):
+    from actionmesh_tpu.models.denoiser import DenoiserConfig
+
+    if size == "production":
+        return DenoiserConfig()
+    return DenoiserConfig(
+        num_tokens_nominal=8,
+        temporal_context_size=8,
+        in_channels=4,
+        num_layers=3,
+        num_attention_heads=4,
+        width=32,
+        mlp_ratio=2.0,
+        cross_attention_dim=16,
+        inflated_layers=(0, 1, 2),
+    )
+
+
+def decoder_model_config(size: str):
+    from actionmesh_tpu.models.autoencoder import AutoencoderConfig
+
+    if size == "production":
+        return AutoencoderConfig()
+    return AutoencoderConfig(
+        temporal_context_size=8,
+        latent_channels=4,
+        width=32,
+        num_layers=2,
+        num_attention_heads=4,
+    )
+
+
+def synthetic_decoder_batches(batch: int, seed: int, T=4, N=8, C=4, T_out=3, V=16):
+    """Endless synthetic decoder batches: smooth per-vertex tracks with
+    two padded bucket rows per sample (exercises the vertex mask)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    while True:
+        alphas = np.linspace(0.25, 1.0, T_out, dtype=np.float32)
+        query = rng.uniform(-1, 1, (batch, V, 6)).astype(np.float32)
+        drift = rng.normal(size=(batch, 1, V, 3)).astype(np.float32) * 0.2
+        positions = np.tanh(
+            query[:, None, :, :3] + drift * alphas[None, :, None, None]
+        ).astype(np.float32)
+        mask = np.ones((batch, V), np.float32)
+        mask[:, -2:] = 0.0
+        yield {
+            "latents": rng.normal(size=(batch, T, N, C)).astype(np.float32),
+            "framestep": np.tile(
+                np.arange(T, dtype=np.float32)[None], (batch, 1)
+            ),
+            "source_alpha": np.zeros((batch,), np.float32),
+            "target_alphas": np.tile(alphas[None], (batch, 1)),
+            "query": query,
+            "positions": positions,
+            "vertex_mask": mask,
+        }
+
+
+def main(argv=None) -> int:
+    args = build_args().parse_args(argv)
+    if not args.synthetic and not args.data_dir:
+        print("error: pass --data-dir or --synthetic", file=sys.stderr)
+        return 2
+    if args.stage == "decoder" and not args.synthetic:
+        print(
+            "error: decoder stage currently requires --synthetic "
+            "(real data needs ActionBench-layout vertex tracks)",
+            file=sys.stderr,
+        )
+        return 2
+
+    from actionmesh_tpu.parallel.mesh import make_mesh
+    from actionmesh_tpu.training.loop import (
+        TrainLoopConfig,
+        run_decoder_training,
+        run_flow_training,
+    )
+
+    loop_cfg = TrainLoopConfig(
+        total_steps=args.steps,
+        peak_lr=args.lr,
+        warmup_steps=args.warmup if args.warmup is not None else args.steps // 10,
+        clip_norm=args.clip_norm,
+        weight_decay=args.weight_decay,
+        ema_decay=args.ema_decay,
+        p_uncond=args.p_uncond,
+        compute_dtype=args.compute_dtype,
+        seed=args.seed,
+        log_every=args.log_every,
+        ckpt_every=args.ckpt_every,
+        out_dir=args.out,
+        resume=not args.no_resume,
+    )
+    mesh = make_mesh(**args.mesh) if args.mesh else None
+
+    def echo(rec):
+        print(
+            f"step {rec['step']:6d}  loss {rec['loss']:.6f}"
+            + (
+                f"  ({rec['stage_steps_per_s']:.2f} steps/s)"
+                if rec.get("stage_steps_per_s")
+                else ""
+            ),
+            flush=True,
+        )
+
+    if args.stage == "flow":
+        from actionmesh_tpu.training.data import (
+            ClipWindowDataset,
+            flow_batches,
+            synthesize_clip_dir,
+        )
+
+        model_cfg = flow_model_config(args.size)
+        if args.synthetic:
+            data_dir = synthesize_clip_dir(
+                Path(tempfile.mkdtemp(prefix="am_synth_clips_")),
+                n_clips=max(4, args.batch * 2),
+                frames=max(args.window, 8),
+                tokens=model_cfg.num_tokens_nominal,
+                channels=model_cfg.in_channels,
+                context_dim=model_cfg.cross_attention_dim,
+                seed=args.seed,
+            )
+        else:
+            data_dir = Path(args.data_dir)
+        dataset = ClipWindowDataset(data_dir, window=args.window)
+        print(
+            f"flow training: {len(dataset)} windows "
+            f"({dataset.skipped_clips} clips too short), batch {args.batch}, "
+            f"{args.steps} steps -> {args.out}"
+        )
+        batches = flow_batches(dataset, args.batch, seed=args.seed)
+        state, history = run_flow_training(
+            model_cfg, batches, loop_cfg, mesh=mesh, on_log=echo
+        )
+    else:
+        model_cfg = decoder_model_config(args.size)
+        print(
+            f"decoder training (synthetic): batch {args.batch}, "
+            f"{args.steps} steps -> {args.out}"
+        )
+        batches = synthetic_decoder_batches(args.batch, args.seed)
+        state, history = run_decoder_training(
+            model_cfg, batches, loop_cfg, mesh=mesh, on_log=echo
+        )
+
+    final = history[-1]["loss"] if history else float("nan")
+    print(f"done: step {int(state['step'])}, final loss {final:.6f}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

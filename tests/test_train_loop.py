@@ -1,0 +1,330 @@
+"""Training data pipeline + driver loop (training/data.py, training/loop.py).
+
+The reference has no training subsystem (SURVEY.md §4); these tests pin the
+framework's own contracts: clip-window indexing, batch layout/determinism,
+prefetcher order/sharding/exception transparency, loop resume semantics,
+and the CLI wrapper end to end on synthetic data.
+"""
+
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from actionmesh_tpu.models.denoiser import DenoiserConfig
+from actionmesh_tpu.parallel.mesh import batch_sharding, make_mesh
+from actionmesh_tpu.training.data import (
+    ClipWindowDataset,
+    DevicePrefetcher,
+    flow_batches,
+    synthesize_clip_dir,
+    write_clip,
+)
+from actionmesh_tpu.training.loop import TrainLoopConfig, run_flow_training
+
+TINY = DenoiserConfig(
+    num_tokens_nominal=8,
+    temporal_context_size=4,
+    in_channels=4,
+    num_layers=2,
+    num_attention_heads=4,
+    width=32,
+    mlp_ratio=2.0,
+    cross_attention_dim=16,
+    inflated_layers=(0, 1),
+    gelu_approx=False,
+)
+
+
+@pytest.fixture(scope="module")
+def clip_dir(tmp_path_factory):
+    return synthesize_clip_dir(
+        tmp_path_factory.mktemp("clips"),
+        n_clips=3,
+        frames=6,
+        tokens=8,
+        channels=4,
+        context_tokens=3,
+        context_dim=16,
+        seed=7,
+    )
+
+
+class TestClipWindowDataset:
+    def test_window_count_and_shapes(self, clip_dir):
+        ds = ClipWindowDataset(clip_dir, window=4, stride=1)
+        # 3 clips x (6 - 4 + 1) starts
+        assert len(ds) == 9
+        item = ds[0]
+        assert item["latents"].shape == (4, 8, 4)
+        assert item["context"].shape == (4, 3, 16)
+        assert item["framestep"].shape == (4,)
+
+    def test_stride_and_window_slicing(self, clip_dir):
+        ds = ClipWindowDataset(clip_dir, window=4, stride=2)
+        assert len(ds) == 6  # starts 0, 2 per clip
+        # second window of clip 0 starts at frame 2
+        np.testing.assert_array_equal(ds[1]["framestep"], [2, 3, 4, 5])
+
+    def test_short_clips_skipped(self, tmp_path):
+        write_clip(
+            tmp_path / "short.npz",
+            np.zeros((2, 8, 4), np.float32),
+            np.zeros((2, 3, 16), np.float32),
+            np.arange(2, dtype=np.float32),
+        )
+        write_clip(
+            tmp_path / "long.npz",
+            np.zeros((5, 8, 4), np.float32),
+            np.zeros((5, 3, 16), np.float32),
+            np.arange(5, dtype=np.float32),
+        )
+        ds = ClipWindowDataset(tmp_path, window=4)
+        assert ds.skipped_clips == 1
+        assert len(ds) == 2
+
+    def test_mismatched_clip_rejected(self, tmp_path):
+        with pytest.raises(ValueError, match="frame-count mismatch"):
+            write_clip(
+                tmp_path / "bad.npz",
+                np.zeros((4, 8, 4), np.float32),
+                np.zeros((3, 3, 16), np.float32),
+                np.arange(4, dtype=np.float32),
+            )
+
+    def test_empty_dir_rejected(self, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            ClipWindowDataset(tmp_path, window=4)
+
+
+class TestFlowBatches:
+    def test_layout_and_mask(self, clip_dir):
+        ds = ClipWindowDataset(clip_dir, window=4)
+        batch = next(flow_batches(ds, 2, seed=0, n_cond_frames=1))
+        assert batch["latents"].shape == (2, 4, 8, 4)
+        assert batch["context"].shape == (2, 4, 3, 16)
+        assert batch["framestep"].shape == (2, 4)
+        np.testing.assert_array_equal(batch["mask"], [[1, 0, 0, 0]] * 2)
+
+    def test_seed_determinism(self, clip_dir):
+        ds = ClipWindowDataset(clip_dir, window=4)
+        a = next(flow_batches(ds, 2, seed=3))
+        b = next(flow_batches(ds, 2, seed=3))
+        np.testing.assert_array_equal(a["latents"], b["latents"])
+
+    def test_epoch_covers_dataset_and_drops_remainder(self, clip_dir):
+        ds = ClipWindowDataset(clip_dir, window=4)  # 9 windows
+        batches = list(flow_batches(ds, 2, seed=0, epochs=1))
+        assert len(batches) == 4  # 9 // 2, last window dropped
+
+    def test_batch_larger_than_dataset_rejected(self, clip_dir):
+        ds = ClipWindowDataset(clip_dir, window=4)
+        with pytest.raises(ValueError, match="batch_size"):
+            next(flow_batches(ds, 100))
+
+
+class TestDevicePrefetcher:
+    def test_preserves_order_and_content(self):
+        src = [{"x": np.full((2, 2), i, np.float32)} for i in range(7)]
+        out = list(DevicePrefetcher(iter(src), prefetch=3))
+        assert len(out) == 7
+        for i, item in enumerate(out):
+            assert isinstance(item["x"], jax.Array)
+            np.testing.assert_array_equal(np.asarray(item["x"]), src[i]["x"])
+
+    def test_applies_sharding(self):
+        mesh = make_mesh(8, dp=2, tp=4)
+        sharding = batch_sharding(mesh)
+        src = [{"x": np.arange(16, dtype=np.float32).reshape(8, 2)}]
+        (item,) = list(DevicePrefetcher(iter(src), sharding=sharding))
+        assert item["x"].sharding == sharding
+
+    def test_worker_exception_reraises_at_consumer(self):
+        def bad():
+            yield {"x": np.zeros(2, np.float32)}
+            raise RuntimeError("loader blew up")
+
+        it = DevicePrefetcher(bad())
+        next(it)
+        with pytest.raises(RuntimeError, match="loader blew up"):
+            next(it)
+
+    def test_close_unblocks_worker(self):
+        def endless():
+            i = 0
+            while True:
+                yield {"x": np.full(2, i, np.float32)}
+                i += 1
+
+        it = DevicePrefetcher(endless(), prefetch=1)
+        next(it)
+        it.close()  # must not hang
+
+
+class TestTrainingLoop:
+    def _cfg(self, out, steps=6, **kw):
+        base = dict(
+            total_steps=steps,
+            peak_lr=1e-3,
+            warmup_steps=1,
+            ema_decay=0.99,
+            seed=0,
+            log_every=2,
+            ckpt_every=0,
+            out_dir=str(out),
+        )
+        base.update(kw)
+        return TrainLoopConfig(**base)
+
+    def test_loop_runs_logs_and_checkpoints(self, clip_dir, tmp_path):
+        ds = ClipWindowDataset(clip_dir, window=4)
+        cfg = self._cfg(tmp_path / "run")
+        state, history = run_flow_training(
+            TINY, flow_batches(ds, 2, seed=0), cfg
+        )
+        assert int(state["step"]) == 6
+        assert [h["step"] for h in history] == [1, 2, 3, 4, 5, 6]
+        assert all(np.isfinite(h["loss"]) for h in history)
+        log = [
+            json.loads(line)
+            for line in (tmp_path / "run" / "log.jsonl").read_text().splitlines()
+        ]
+        assert [h["step"] for h in log] == [1, 2, 3, 4, 5, 6]
+        assert (tmp_path / "run" / "ckpt_latest.npz").exists()
+
+    def test_resume_continues_from_checkpoint(self, clip_dir, tmp_path):
+        ds = ClipWindowDataset(clip_dir, window=4)
+        out = tmp_path / "resume"
+
+        # full run: 6 steps in one go
+        full_state, _ = run_flow_training(
+            TINY,
+            flow_batches(ds, 2, seed=0),
+            self._cfg(out / "full", steps=6),
+        )
+        # split run: same schedule (steps=6) but the stream runs dry after 3
+        # batches — the loop checkpoints and returns; then resume with the
+        # tail of an identical stream
+        import itertools
+
+        split_out = out / "split"
+        half_state, _ = run_flow_training(
+            TINY,
+            itertools.islice(flow_batches(ds, 2, seed=0), 3),
+            self._cfg(split_out, steps=6),
+        )
+        assert int(half_state["step"]) == 3  # exhausted early, saved cleanly
+        stream = flow_batches(ds, 2, seed=0)
+        for _ in range(3):  # skip what the first half consumed
+            next(stream)
+        state2, history2 = run_flow_training(
+            TINY, stream, self._cfg(split_out, steps=6)
+        )
+        assert int(state2["step"]) == 6
+        assert [h["step"] for h in history2] == [4, 5, 6]
+        # identical trajectories: per-step keys are fold_in(step), data matches
+        a = jax.tree.leaves(full_state["params"])
+        b = jax.tree.leaves(state2["params"])
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
+
+    def test_loss_decreases_on_learnable_synthetic_data(self, tmp_path):
+        clip_dir = synthesize_clip_dir(
+            tmp_path / "clips", n_clips=2, frames=8, seed=0
+        )
+        ds = ClipWindowDataset(clip_dir, window=4)
+        cfg = self._cfg(
+            tmp_path / "run", steps=30, peak_lr=3e-3, log_every=5, ema_decay=None
+        )
+        _, history = run_flow_training(TINY, flow_batches(ds, 2, seed=0), cfg)
+        first = np.mean([h["loss"] for h in history[:5]])
+        last = np.mean([h["loss"] for h in history[-5:]])
+        assert last < first
+
+    def test_cli_flow_synthetic(self, tmp_path, capsys):
+        import scripts.train as train_cli
+
+        rc = train_cli.main(
+            [
+                "--stage",
+                "flow",
+                "--synthetic",
+                "--size",
+                "tiny",
+                "--steps",
+                "4",
+                "--batch",
+                "2",
+                "--window",
+                "4",
+                "--log-every",
+                "2",
+                "--out",
+                str(tmp_path / "cli_run"),
+            ]
+        )
+        assert rc == 0
+        assert "done: step 4" in capsys.readouterr().out
+        assert (tmp_path / "cli_run" / "ckpt_latest.npz").exists()
+
+    def test_cli_decoder_synthetic(self, tmp_path, capsys):
+        import scripts.train as train_cli
+
+        rc = train_cli.main(
+            [
+                "--stage",
+                "decoder",
+                "--synthetic",
+                "--size",
+                "tiny",
+                "--steps",
+                "3",
+                "--batch",
+                "2",
+                "--log-every",
+                "1",
+                "--out",
+                str(tmp_path / "cli_dec"),
+            ]
+        )
+        assert rc == 0
+        assert "done: step 3" in capsys.readouterr().out
+
+    def test_cli_rejects_missing_data_source(self):
+        import scripts.train as train_cli
+
+        assert train_cli.main(["--stage", "flow"]) == 2
+
+
+class TestShardedLoop:
+    def test_sharded_loop_matches_unsharded(self, clip_dir, tmp_path):
+        ds = ClipWindowDataset(clip_dir, window=4)
+        cfg_a = TrainLoopConfig(
+            total_steps=3,
+            peak_lr=1e-3,
+            warmup_steps=1,
+            ema_decay=None,
+            seed=0,
+            log_every=1,
+            ckpt_every=0,
+            out_dir=str(tmp_path / "unsharded"),
+        )
+        state_a, hist_a = run_flow_training(
+            TINY, flow_batches(ds, 2, seed=0), cfg_a
+        )
+        mesh = make_mesh(8, dp=2, tp=4)
+        cfg_b = TrainLoopConfig(**{**cfg_a.__dict__, "out_dir": str(tmp_path / "sh")})
+        state_b, hist_b = run_flow_training(
+            TINY, flow_batches(ds, 2, seed=0), cfg_b, mesh=mesh
+        )
+        for ha, hb in zip(hist_a, hist_b):
+            assert abs(ha["loss"] - hb["loss"]) < 2e-4
+        for x, y in zip(
+            jax.tree.leaves(state_a["params"]), jax.tree.leaves(state_b["params"])
+        ):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), atol=2e-4, rtol=2e-4
+            )
