@@ -328,3 +328,68 @@ class TestShardedLoop:
             np.testing.assert_allclose(
                 np.asarray(x), np.asarray(y), atol=2e-4, rtol=2e-4
             )
+
+
+@pytest.mark.slow
+class TestPrepareClips:
+    """Closes the loop: inference pipeline -> clip npz -> trainable batches."""
+
+    def test_prepare_clip_feeds_training(self, tmp_path):
+        import jax.numpy as jnp
+
+        from actionmesh_tpu.io.video_input import ActionMeshInput
+        from actionmesh_tpu.models.dinov2 import DinoV2Config
+        from actionmesh_tpu.models.image_encoder import ImageEncoder
+        from actionmesh_tpu.models.stage0 import StubImageTo3D
+        from actionmesh_tpu.pipeline import ActionMeshPipeline
+        from scripts.prepare_clips import prepare_clip
+        from tests.test_pipeline import TINY_DINO, TINY_UPDATES, make_frames
+
+        pipe = ActionMeshPipeline(
+            config_name="actionmesh",
+            weights_dir=None,
+            config_updates=dict(TINY_UPDATES),
+            dtype=jnp.float32,
+        )
+        pipe.image_encoder = ImageEncoder(
+            weights_dir=None, dtype=jnp.float32, config=TINY_DINO
+        )
+        pipe.image_to_3d = StubImageTo3D(latent_shape=(16, 8))
+
+        inp = ActionMeshInput(
+            frames=make_frames(16), timesteps=np.arange(16, dtype=np.float32)
+        )
+        stats = prepare_clip(pipe, inp, tmp_path / "clip.npz", seed=44)
+        assert (stats["frames"], stats["tokens"], stats["channels"]) == (16, 16, 8)
+        S = stats["context_tokens"]  # patch grid + cls, set by frame resize
+
+        ds = ClipWindowDataset(tmp_path, window=8)
+        assert len(ds) == 9
+        batch = next(flow_batches(ds, 2, seed=0))
+        assert batch["latents"].shape == (2, 8, 16, 8)
+        assert batch["context"].shape == (2, 8, S, 32)
+
+        # one rectified-flow step consumes the prepared batch end to end
+        from actionmesh_tpu.training.flow_train import (
+            init_train_state,
+            make_train_step,
+        )
+        import optax
+
+        cfg = DenoiserConfig(
+            num_tokens_nominal=16,
+            temporal_context_size=16,
+            in_channels=8,
+            num_layers=3,
+            num_attention_heads=2,
+            width=64,
+            cross_attention_dim=32,
+            inflated_layers=(0, 1, 2),
+        )
+        opt = optax.adamw(1e-4)
+        params = jax.device_get(pipe.denoiser_params)
+        state = init_train_state(params, opt)
+        step = make_train_step(cfg, opt)
+        batch = jax.tree.map(jnp.asarray, batch)
+        state, loss = step(state, batch, jax.random.key(0))
+        assert np.isfinite(float(loss))
