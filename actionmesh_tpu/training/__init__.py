@@ -20,7 +20,9 @@ from actionmesh_tpu.training.checkpoint import (
 )
 from actionmesh_tpu.training.data import (
     ClipWindowDataset,
+    DecoderTrackDataset,
     DevicePrefetcher,
+    decoder_batches,
     flow_batches,
     synthesize_clip_dir,
     write_clip,
@@ -42,7 +44,9 @@ from actionmesh_tpu.training.flow_train import (
 
 __all__ = [
     "ClipWindowDataset",
+    "DecoderTrackDataset",
     "DevicePrefetcher",
+    "decoder_batches",
     "TrainLoopConfig",
     "cast_params_for_compute",
     "flow_batches",

@@ -185,6 +185,158 @@ def flow_batches(
         epoch += 1
 
 
+class DecoderTrackDataset:
+    """Pairs Stage-I clips with tracked ground-truth surfaces for Stage-II
+    decoder training.
+
+    Layout: ``clips_dir/{uid}.npz`` (the flow-clip format above — only
+    ``latents``/``framestep`` are used) and ``tracks_dir/{uid}/surfaces.npy``
+    with shape (T, V, 6) — positions+normals per tracked vertex, the
+    ActionBench ground-truth layout (actionbench/evaluate_dataset.py), with
+    positions in the decoder's (-1, 1) output range. Only uids present in
+    BOTH directories index; per-uid frame counts must match.
+    """
+
+    def __init__(
+        self,
+        clips_dir: str | Path,
+        tracks_dir: str | Path,
+        window: int,
+        stride: int = 1,
+    ):
+        if window < 2:
+            raise ValueError(f"window={window} must be >= 2 (anchor + targets)")
+        self.window = window
+        clips_dir, tracks_dir = Path(clips_dir), Path(tracks_dir)
+        clip_uids = {p.stem for p in clips_dir.glob("*.npz")}
+        track_uids = {p.parent.name for p in tracks_dir.glob("*/surfaces.npy")}
+        uids = sorted(clip_uids & track_uids)
+        if not uids:
+            raise FileNotFoundError(
+                f"no shared uids between {clips_dir} (*.npz: {len(clip_uids)}) "
+                f"and {tracks_dir} (*/surfaces.npy: {len(track_uids)})"
+            )
+        self._windows: list[tuple[Path, Path, int]] = []
+        self.skipped_clips = 0
+        for uid in uids:
+            clip_path = clips_dir / f"{uid}.npz"
+            track_path = tracks_dir / uid / "surfaces.npy"
+            with np.load(clip_path) as z:
+                frames = z["latents"].shape[0]
+            surf_frames = np.load(track_path, mmap_mode="r").shape[0]
+            if surf_frames != frames:
+                raise ValueError(
+                    f"{uid}: clip has {frames} frames but surfaces.npy has "
+                    f"{surf_frames}"
+                )
+            if frames < window:
+                self.skipped_clips += 1
+                continue
+            for start in range(0, frames - window + 1, stride):
+                self._windows.append((clip_path, track_path, start))
+        if not self._windows:
+            raise ValueError(f"no paired clip has >= {window} frames")
+        self._cache_key: Optional[Path] = None
+        self._cache: Optional[tuple] = None
+
+    def __len__(self) -> int:
+        return len(self._windows)
+
+    def _load(self, clip_path: Path, track_path: Path) -> tuple:
+        if clip_path != self._cache_key:
+            with np.load(clip_path) as z:
+                clip = {k: z[k] for k in ("latents", "framestep")}
+            self._cache = (clip, np.load(track_path))
+            self._cache_key = clip_path
+        return self._cache
+
+    def __getitem__(self, idx: int) -> dict:
+        clip_path, track_path, start = self._windows[idx]
+        clip, surfaces = self._load(clip_path, track_path)
+        sl = slice(start, start + self.window)
+        return {
+            "latents": clip["latents"][sl],
+            "framestep": clip["framestep"][sl],
+            "surfaces": surfaces[sl],  # (window, V, 6)
+        }
+
+
+def decoder_batches(
+    dataset: DecoderTrackDataset,
+    batch_size: int,
+    *,
+    vertex_bucket: int = 4096,
+    seed: int = 0,
+    epochs: Optional[int] = None,
+) -> Iterator[dict]:
+    """Yield shuffled decoder batches in the
+    training/decoder_train.decoder_loss layout.
+
+    Each window trains "deform the first frame's surface to the later
+    frames": ``query`` is frame 0's (V, 6) points+normals, ``positions``
+    are frames 1..T-1's tracked positions, alphas normalize the window's
+    framesteps to [0, 1] exactly as Stage-II inference does
+    (pipeline.generate_mesh_animation / ops/embeddings.apply_scaling).
+    V pads to ``vertex_bucket`` with mask-0 rows (the same bucketing the
+    inference decode uses for XLA static shapes).
+    """
+    if len(dataset) < batch_size:
+        raise ValueError(
+            f"dataset has {len(dataset)} windows < batch_size {batch_size}"
+        )
+    rng = np.random.default_rng(seed)
+    epoch = 0
+    while epochs is None or epoch < epochs:
+        order = rng.permutation(len(dataset))
+        for lo in range(0, len(order) - batch_size + 1, batch_size):
+            items = [dataset[int(i)] for i in order[lo : lo + batch_size]]
+            queries, positions, masks = [], [], []
+            for it in items:
+                surf = np.asarray(it["surfaces"], np.float32)
+                V = surf.shape[1]
+                if V > vertex_bucket:
+                    raise ValueError(
+                        f"sample has {V} vertices > vertex_bucket "
+                        f"{vertex_bucket}"
+                    )
+                pos = surf[1:, :, :3]
+                if np.abs(pos).max() > 1.0:
+                    raise ValueError(
+                        "tracked positions exceed the decoder's (-1, 1) "
+                        f"output range (max |x| = {np.abs(pos).max():.3f}) — "
+                        "normalize the tracks first"
+                    )
+                pad = vertex_bucket - V
+                queries.append(
+                    np.concatenate([surf[0], np.zeros((pad, 6), np.float32)])
+                )
+                positions.append(
+                    np.concatenate(
+                        [pos, np.zeros((pos.shape[0], pad, 3), np.float32)],
+                        axis=1,
+                    )
+                )
+                mask = np.zeros((vertex_bucket,), np.float32)
+                mask[:V] = 1.0
+                masks.append(mask)
+            framestep = np.stack(
+                [it["framestep"] for it in items]
+            ).astype(np.float32)
+            t_min = framestep.min(axis=1, keepdims=True)
+            t_range = framestep.max(axis=1, keepdims=True) - t_min
+            alphas = (framestep - t_min) / np.maximum(t_range, 1e-6)
+            yield {
+                "latents": np.stack([it["latents"] for it in items]),
+                "framestep": framestep,
+                "source_alpha": alphas[:, 0],
+                "target_alphas": alphas[:, 1:],
+                "query": np.stack(queries),
+                "positions": np.stack(positions),
+                "vertex_mask": np.stack(masks),
+            }
+        epoch += 1
+
+
 class DevicePrefetcher:
     """Wrap a host-batch iterator; a daemon thread transfers batches to
     device (with ``sharding`` when given — e.g. parallel/mesh.batch_sharding

@@ -19,9 +19,11 @@ layout ActionMeshPipeline Stage I consumes; see training/data.py):
   python scripts/train.py --stage flow --data-dir /data/clips \
       --window 16 --batch 2 --mesh dp=2,tp=4 --compute-dtype bfloat16
 
-Stage II (decoder) currently trains from synthetic tracked-point batches
-(--synthetic); real decoder data needs (query, positions) vertex tracks in
-the ActionBench layout.
+Stage II (decoder) trains from clip latents paired with tracked vertex
+surfaces in the ActionBench ground-truth layout
+(tracks_dir/{uid}/surfaces.npy, (T,V,6), positions in (-1,1)):
+  python scripts/train.py --stage decoder --data-dir /data/clips \
+      --tracks-dir /data/gt --window 8 --batch 2
 """
 
 from __future__ import annotations
@@ -50,7 +52,18 @@ def parse_mesh(spec: str):
 def build_args() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("--stage", choices=("flow", "decoder"), default="flow")
-    p.add_argument("--data-dir", help="directory of clip .npz files (flow stage)")
+    p.add_argument("--data-dir", help="directory of clip .npz files")
+    p.add_argument(
+        "--tracks-dir",
+        help="decoder stage: directory of {uid}/surfaces.npy vertex tracks "
+        "(ActionBench GT layout) paired with --data-dir clips by uid",
+    )
+    p.add_argument(
+        "--vertex-bucket",
+        type=int,
+        default=4096,
+        help="decoder stage: pad per-mesh vertex counts to this bucket",
+    )
     p.add_argument(
         "--synthetic",
         action="store_true",
@@ -151,10 +164,10 @@ def main(argv=None) -> int:
     if not args.synthetic and not args.data_dir:
         print("error: pass --data-dir or --synthetic", file=sys.stderr)
         return 2
-    if args.stage == "decoder" and not args.synthetic:
+    if args.stage == "decoder" and not args.synthetic and not args.tracks_dir:
         print(
-            "error: decoder stage currently requires --synthetic "
-            "(real data needs ActionBench-layout vertex tracks)",
+            "error: decoder stage needs --tracks-dir (ActionBench-layout "
+            "vertex tracks) alongside --data-dir, or --synthetic",
             file=sys.stderr,
         )
         return 2
@@ -226,11 +239,33 @@ def main(argv=None) -> int:
         )
     else:
         model_cfg = decoder_model_config(args.size)
-        print(
-            f"decoder training (synthetic): batch {args.batch}, "
-            f"{args.steps} steps -> {args.out}"
-        )
-        batches = synthetic_decoder_batches(args.batch, args.seed)
+        if args.synthetic:
+            print(
+                f"decoder training (synthetic): batch {args.batch}, "
+                f"{args.steps} steps -> {args.out}"
+            )
+            batches = synthetic_decoder_batches(args.batch, args.seed)
+        else:
+            from actionmesh_tpu.training.data import (
+                DecoderTrackDataset,
+                decoder_batches,
+            )
+
+            dataset = DecoderTrackDataset(
+                args.data_dir, args.tracks_dir, window=args.window
+            )
+            print(
+                f"decoder training: {len(dataset)} windows "
+                f"({dataset.skipped_clips} clips too short), batch "
+                f"{args.batch}, bucket {args.vertex_bucket}, "
+                f"{args.steps} steps -> {args.out}"
+            )
+            batches = decoder_batches(
+                dataset,
+                args.batch,
+                vertex_bucket=args.vertex_bucket,
+                seed=args.seed,
+            )
         state, history = run_decoder_training(
             model_cfg, batches, loop_cfg, mesh=mesh, on_log=echo
         )

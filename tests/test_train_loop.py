@@ -393,3 +393,164 @@ class TestPrepareClips:
         batch = jax.tree.map(jnp.asarray, batch)
         state, loss = step(state, batch, jax.random.key(0))
         assert np.isfinite(float(loss))
+
+
+@pytest.fixture(scope="module")
+def decoder_data(tmp_path_factory):
+    """Paired clips + ActionBench-layout tracks: 2 uids, 6 frames,
+    different vertex counts (exercises bucketing)."""
+    root = tmp_path_factory.mktemp("decoder_data")
+    clips, tracks = root / "clips", root / "tracks"
+    clips.mkdir(), tracks.mkdir()
+    rng = np.random.default_rng(0)
+    for uid, V in (("clip_a", 10), ("clip_b", 13)):
+        write_clip(
+            clips / f"{uid}.npz",
+            rng.normal(size=(6, 8, 4)).astype(np.float32),
+            rng.normal(size=(6, 3, 16)).astype(np.float32),
+            np.arange(6, dtype=np.float32),
+        )
+        base = rng.uniform(-0.8, 0.8, (1, V, 3)).astype(np.float32)
+        drift = rng.normal(size=(1, V, 3)).astype(np.float32) * 0.02
+        t = np.arange(6, dtype=np.float32)[:, None, None]
+        positions = np.clip(base + drift * t, -1, 1)
+        normals = rng.normal(size=(6, V, 3)).astype(np.float32)
+        surf = np.concatenate([positions, normals], axis=-1)
+        (tracks / uid).mkdir()
+        np.save(tracks / uid / "surfaces.npy", surf.astype(np.float32))
+    return clips, tracks
+
+
+class TestDecoderTrackData:
+    def test_pairing_and_window_count(self, decoder_data):
+        from actionmesh_tpu.training.data import DecoderTrackDataset
+
+        clips, tracks = decoder_data
+        ds = DecoderTrackDataset(clips, tracks, window=4)
+        assert len(ds) == 6  # 2 uids x 3 starts
+        item = ds[0]
+        assert item["latents"].shape == (4, 8, 4)
+        assert item["surfaces"].shape[0] == 4
+
+    def test_frame_mismatch_raises(self, decoder_data, tmp_path):
+        from actionmesh_tpu.training.data import DecoderTrackDataset
+
+        clips, _ = decoder_data
+        bad_tracks = tmp_path / "bad_tracks"
+        (bad_tracks / "clip_a").mkdir(parents=True)
+        np.save(
+            bad_tracks / "clip_a" / "surfaces.npy",
+            np.zeros((4, 5, 6), np.float32),  # clip has 6 frames
+        )
+        with pytest.raises(ValueError, match="clip has 6 frames"):
+            DecoderTrackDataset(clips, bad_tracks, window=4)
+
+    def test_no_shared_uids_raises(self, decoder_data, tmp_path):
+        from actionmesh_tpu.training.data import DecoderTrackDataset
+
+        clips, _ = decoder_data
+        with pytest.raises(FileNotFoundError, match="no shared uids"):
+            DecoderTrackDataset(clips, tmp_path, window=4)
+
+    def test_batch_layout_alphas_and_bucketing(self, decoder_data):
+        from actionmesh_tpu.training.data import (
+            DecoderTrackDataset,
+            decoder_batches,
+        )
+
+        clips, tracks = decoder_data
+        ds = DecoderTrackDataset(clips, tracks, window=4)
+        batch = next(decoder_batches(ds, 2, vertex_bucket=16, seed=0))
+        assert batch["latents"].shape == (2, 4, 8, 4)
+        assert batch["query"].shape == (2, 16, 6)
+        assert batch["positions"].shape == (2, 3, 16, 3)
+        assert batch["vertex_mask"].shape == (2, 16)
+        # window-normalized alphas: source at 0, targets ascend to 1
+        np.testing.assert_allclose(batch["source_alpha"], 0.0)
+        assert (np.diff(batch["target_alphas"], axis=1) > 0).all()
+        np.testing.assert_allclose(batch["target_alphas"][:, -1], 1.0)
+        # mask-0 rows carry zero padding
+        for b in range(2):
+            v = int(batch["vertex_mask"][b].sum())
+            assert v in (10, 13)
+            np.testing.assert_array_equal(batch["query"][b, v:], 0.0)
+
+    def test_out_of_range_positions_rejected(self, decoder_data, tmp_path):
+        from actionmesh_tpu.training.data import (
+            DecoderTrackDataset,
+            decoder_batches,
+        )
+
+        clips, _ = decoder_data
+        tracks = tmp_path / "tracks"
+        (tracks / "clip_a").mkdir(parents=True)
+        surf = np.zeros((6, 4, 6), np.float32)
+        surf[3, 0, 0] = 1.7  # out of (-1, 1)
+        np.save(tracks / "clip_a" / "surfaces.npy", surf)
+        ds = DecoderTrackDataset(clips, tracks, window=4)
+        with pytest.raises(ValueError, match="output range"):
+            next(decoder_batches(ds, 1, vertex_bucket=8))
+
+    def test_train_step_consumes_real_layout(self, decoder_data):
+        import optax
+
+        from actionmesh_tpu.models.autoencoder import (
+            AutoencoderConfig,
+            init_autoencoder,
+        )
+        from actionmesh_tpu.training.data import (
+            DecoderTrackDataset,
+            decoder_batches,
+        )
+        from actionmesh_tpu.training.decoder_train import make_decoder_train_step
+        from actionmesh_tpu.training.flow_train import init_train_state
+
+        clips, tracks = decoder_data
+        ds = DecoderTrackDataset(clips, tracks, window=4)
+        batch = jax.tree.map(
+            jnp.asarray, next(decoder_batches(ds, 2, vertex_bucket=16, seed=0))
+        )
+        cfg = AutoencoderConfig(
+            temporal_context_size=4,
+            latent_channels=4,
+            width=32,
+            num_layers=2,
+            num_attention_heads=4,
+        )
+        opt = optax.adamw(1e-4)
+        params = init_autoencoder(jax.random.key(0), cfg)
+        state = init_train_state(params, opt)
+        step = make_decoder_train_step(cfg, opt)
+        state, loss = step(state, batch)
+        assert np.isfinite(float(loss))
+
+    def test_cli_decoder_real_data(self, decoder_data, tmp_path, capsys):
+        import scripts.train as train_cli
+
+        clips, tracks = decoder_data
+        rc = train_cli.main(
+            [
+                "--stage",
+                "decoder",
+                "--data-dir",
+                str(clips),
+                "--tracks-dir",
+                str(tracks),
+                "--size",
+                "tiny",
+                "--window",
+                "4",
+                "--vertex-bucket",
+                "16",
+                "--steps",
+                "3",
+                "--batch",
+                "2",
+                "--log-every",
+                "1",
+                "--out",
+                str(tmp_path / "dec_real"),
+            ]
+        )
+        assert rc == 0
+        assert "done: step 3" in capsys.readouterr().out
