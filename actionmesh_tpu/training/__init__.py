@@ -15,6 +15,7 @@ from actionmesh_tpu.training.decoder_train import (
     masked_position_mse,
 )
 from actionmesh_tpu.training.checkpoint import (
+    export_for_inference,
     restore_train_state,
     save_train_state,
 )
@@ -56,6 +57,7 @@ __all__ = [
     "synthesize_clip_dir",
     "write_clip",
     "decoder_loss",
+    "export_for_inference",
     "make_decoder_train_step",
     "masked_position_mse",
     "flow_matching_loss",

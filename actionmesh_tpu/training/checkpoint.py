@@ -23,13 +23,53 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def export_for_inference(
+    state: dict,
+    path: str | Path,
+    *,
+    stage: str = "flow",
+    use_ema: bool = True,
+    compute_dtype=jnp.bfloat16,
+) -> Path:
+    """Export a train state's params as a native inference checkpoint.
+
+    Writes ``denoiser.npz`` (stage="flow") or ``autoencoder.npz``
+    (stage="decoder") under ``path`` in the utils/weights.save_params
+    layout, so ``ActionMeshPipeline.load_native(path)`` serves the trained
+    model directly. Prefers the EMA shadow (the weights a diffusion
+    sampler should run) when present; matmul weights cast to
+    ``compute_dtype`` with norm scales left fp32, matching the inference
+    storage convention (models/denoiser.init_denoiser).
+    """
+    from actionmesh_tpu.training.flow_train import cast_params_for_compute
+    from actionmesh_tpu.utils.weights import save_params
+
+    names = {"flow": "denoiser.npz", "decoder": "autoencoder.npz"}
+    if stage not in names:
+        raise ValueError(f"stage must be one of {sorted(names)}, got {stage!r}")
+    params = state.get("ema_params") if use_ema else None
+    if params is None:
+        params = state["params"]
+    if compute_dtype is not None:
+        params = cast_params_for_compute(params, compute_dtype)
+    out_dir = Path(path)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    out = out_dir / names[stage]
+    save_params(params, out)
+    return out
+
+
 def save_train_state(state, path: str | Path) -> None:
     """Serialize every leaf of the train state (params, optimizer moments,
     step) to one npz, in canonical tree-flatten order."""
-    leaves = jax.tree.leaves(state)
-    np.savez(
-        path, **{f"leaf_{i:05d}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
-    )
+    flat = {}
+    for i, leaf in enumerate(jax.tree.leaves(state)):
+        arr = np.asarray(leaf)
+        if arr.dtype == jnp.bfloat16:  # npz cannot represent bf16 natively
+            flat[f"leaf_{i:05d}::bf16"] = arr.view(np.uint16)
+        else:
+            flat[f"leaf_{i:05d}"] = arr
+    np.savez(path, **flat)
 
 
 def restore_train_state(path: str | Path, template) -> dict:
@@ -41,7 +81,12 @@ def restore_train_state(path: str | Path, template) -> dict:
     Shape mismatches raise with the offending leaf index and shapes.
     """
     with np.load(path) as archive:
-        stored = [archive[k] for k in sorted(archive.files)]
+        stored = []
+        for k in sorted(archive.files):
+            arr = archive[k]
+            if k.endswith("::bf16"):
+                arr = arr.view(jnp.bfloat16)
+            stored.append(arr)
     t_leaves, treedef = jax.tree.flatten(template)
     if len(stored) != len(t_leaves):
         raise ValueError(

@@ -377,8 +377,20 @@ def _flatten(tree, prefix="") -> Iterator[tuple[str, np.ndarray]]:
         yield prefix[:-1], np.asarray(tree)
 
 
+_BF16_SUFFIX = "::bf16"
+
+
 def save_params(params, path: str | Path) -> None:
-    np.savez(path, **dict(_flatten(params)))
+    """Flattened-npz checkpoint. bfloat16 leaves (which numpy's npz cannot
+    represent) are stored as uint16 bit patterns under a ``::bf16`` key
+    suffix and restored transparently by load_params."""
+    flat = {}
+    for key, value in _flatten(params):
+        if value.dtype == jnp.bfloat16:
+            flat[key + _BF16_SUFFIX] = value.view(np.uint16)
+        else:
+            flat[key] = value
+    np.savez(path, **flat)
 
 
 def load_params(path: str | Path) -> dict:
@@ -386,6 +398,9 @@ def load_params(path: str | Path) -> dict:
     flat = dict(np.load(path))
     root: dict = {}
     for key, value in flat.items():
+        if key.endswith(_BF16_SUFFIX):
+            key = key[: -len(_BF16_SUFFIX)]
+            value = value.view(jnp.bfloat16)
         parts = key.split(".")
         node = root
         for p in parts[:-1]:

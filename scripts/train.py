@@ -91,6 +91,12 @@ def build_args() -> argparse.ArgumentParser:
     p.add_argument("--out", default="train_out")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument(
+        "--export-inference",
+        metavar="DIR",
+        help="after training, export the (EMA) params as a native inference "
+        "checkpoint loadable by ActionMeshPipeline.load_native",
+    )
+    p.add_argument(
         "--mesh",
         type=parse_mesh,
         default=None,
@@ -269,6 +275,14 @@ def main(argv=None) -> int:
         state, history = run_decoder_training(
             model_cfg, batches, loop_cfg, mesh=mesh, on_log=echo
         )
+
+    if args.export_inference:
+        from actionmesh_tpu.training.checkpoint import export_for_inference
+
+        out = export_for_inference(
+            state, args.export_inference, stage=args.stage
+        )
+        print(f"exported inference checkpoint: {out}")
 
     final = history[-1]["loss"] if history else float("nan")
     print(f"done: step {int(state['step'])}, final loss {final:.6f}")

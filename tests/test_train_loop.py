@@ -554,3 +554,104 @@ class TestDecoderTrackData:
         )
         assert rc == 0
         assert "done: step 3" in capsys.readouterr().out
+
+
+class TestInferenceExport:
+    def test_export_ema_roundtrips_and_runs(self, clip_dir, tmp_path):
+        import optax
+
+        from actionmesh_tpu.models.denoiser import denoiser_forward, init_denoiser
+        from actionmesh_tpu.training.checkpoint import export_for_inference
+        from actionmesh_tpu.training.flow_train import (
+            cast_params_for_compute,
+            init_train_state,
+            make_train_step,
+        )
+        from actionmesh_tpu.utils.weights import load_params
+
+        ds = ClipWindowDataset(clip_dir, window=4)
+        opt = optax.adamw(1e-3)
+        params = init_denoiser(jax.random.key(0), TINY)
+        state = init_train_state(params, opt, ema_decay=0.9)
+        step = make_train_step(TINY, opt, ema_decay=0.9)
+        batch = jax.tree.map(jnp.asarray, next(flow_batches(ds, 2, seed=0)))
+        state, _ = step(state, batch, jax.random.key(1))
+
+        out = export_for_inference(state, tmp_path, stage="flow")
+        assert out.name == "denoiser.npz"
+        loaded = load_params(out)
+
+        # exported leaves == EMA params under the inference storage dtypes
+        want = cast_params_for_compute(state["ema_params"], jnp.bfloat16)
+        for (pw, w), (pl, l) in zip(
+            jax.tree_util.tree_leaves_with_path(want),
+            jax.tree_util.tree_leaves_with_path(loaded),
+        ):
+            assert jax.tree_util.keystr(pw) == jax.tree_util.keystr(pl)
+            assert w.dtype == l.dtype
+            np.testing.assert_array_equal(np.asarray(w), np.asarray(l))
+        # norm scales stayed fp32
+        assert any(
+            l.dtype == jnp.float32 for l in jax.tree.leaves(loaded)
+        ) and any(l.dtype == jnp.bfloat16 for l in jax.tree.leaves(loaded))
+
+        # the exported checkpoint drives a forward pass
+        v = denoiser_forward(
+            loaded,
+            TINY,
+            batch["latents"].astype(jnp.bfloat16),
+            batch["context"].astype(jnp.bfloat16),
+            batch["framestep"],
+            jnp.full((2,), 500.0),
+            batch["mask"],
+        )
+        assert np.isfinite(np.asarray(v, np.float32)).all()
+
+    def test_export_without_ema_uses_raw_params(self, tmp_path):
+        import optax
+
+        from actionmesh_tpu.models.denoiser import init_denoiser
+        from actionmesh_tpu.training.checkpoint import export_for_inference
+        from actionmesh_tpu.training.flow_train import init_train_state
+        from actionmesh_tpu.utils.weights import load_params
+
+        params = init_denoiser(jax.random.key(0), TINY)
+        state = init_train_state(params, optax.adamw(1e-3))  # no EMA
+        out = export_for_inference(state, tmp_path, stage="flow")
+        loaded = load_params(out)
+        ref = jax.tree.leaves(params)[0].astype(jnp.bfloat16)
+        got = jax.tree.leaves(loaded)[0]
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+    def test_bad_stage_rejected(self, tmp_path):
+        from actionmesh_tpu.training.checkpoint import export_for_inference
+
+        with pytest.raises(ValueError, match="stage"):
+            export_for_inference({"params": {}}, tmp_path, stage="stage0")
+
+    def test_cli_export_flag(self, tmp_path, capsys):
+        import scripts.train as train_cli
+
+        rc = train_cli.main(
+            [
+                "--stage",
+                "flow",
+                "--synthetic",
+                "--size",
+                "tiny",
+                "--steps",
+                "3",
+                "--batch",
+                "2",
+                "--window",
+                "4",
+                "--log-every",
+                "1",
+                "--out",
+                str(tmp_path / "run"),
+                "--export-inference",
+                str(tmp_path / "ckpt"),
+            ]
+        )
+        assert rc == 0
+        assert (tmp_path / "ckpt" / "denoiser.npz").exists()
