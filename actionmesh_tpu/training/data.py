@@ -143,6 +143,32 @@ class ClipWindowDataset:
         }
 
 
+def split_windows(dataset, eval_fraction: float = 0.1, seed: int = 0):
+    """Random disjoint train/eval split of a window dataset
+    (ClipWindowDataset or DecoderTrackDataset). Returns (train, eval)
+    lightweight views sharing the underlying files."""
+    import copy
+
+    n = len(dataset)
+    n_eval = max(1, int(round(n * eval_fraction)))
+    if n_eval >= n:
+        raise ValueError(
+            f"eval_fraction={eval_fraction} leaves no training windows "
+            f"(dataset has {n})"
+        )
+    order = np.random.default_rng(seed).permutation(n)
+
+    def view(indices):
+        v = copy.copy(dataset)
+        v._windows = [dataset._windows[int(i)] for i in sorted(indices)]
+        for attr in ("_cache", "_cache_path", "_cache_key"):
+            if hasattr(v, attr):
+                setattr(v, attr, None)
+        return v
+
+    return view(order[n_eval:]), view(order[:n_eval])
+
+
 def flow_batches(
     dataset: ClipWindowDataset,
     batch_size: int,

@@ -48,21 +48,25 @@ class TrainLoopConfig:
     """Hyperparameters of the outer loop (model architecture lives in the
     DenoiserConfig/AutoencoderConfig passed alongside)."""
 
-    total_steps: int = 1000
+    total_steps: int = 1000  # micro-steps (batches consumed), see grad_accum
     peak_lr: float = 1e-4
     warmup_steps: int = 100
     final_lr_ratio: float = 0.1  # cosine decays peak_lr -> peak_lr * ratio
     clip_norm: float = 1.0
     weight_decay: float = 0.01
-    ema_decay: Optional[float] = 0.999
+    grad_accum: int = 1  # optimizer updates every grad_accum micro-steps
+    ema_decay: Optional[float] = 0.999  # per optimizer update (see make_*)
     p_uncond: float = 0.1  # CFG context dropout (flow stage only)
     shift: float = 3.0  # sigma-schedule shift (flow stage only)
     compute_dtype: Optional[str] = None  # None = fp32; "bfloat16" for TPU
     seed: int = 0
     log_every: int = 10
     ckpt_every: int = 500
+    eval_every: int = 0  # 0 = no held-out evaluation
     out_dir: str = "train_out"
     resume: bool = True
+    profile_steps: Optional[tuple[int, int]] = None  # [start, end) micro-steps
+    profile_dir: Optional[str] = None  # default: out_dir/profile
 
     def __post_init__(self):
         if self.total_steps < 1:
@@ -72,21 +76,43 @@ class TrainLoopConfig:
                 f"warmup_steps={self.warmup_steps} must be < "
                 f"total_steps={self.total_steps}"
             )
+        if self.grad_accum < 1:
+            raise ValueError(f"grad_accum={self.grad_accum} must be >= 1")
 
 
 def make_optimizer(cfg: TrainLoopConfig) -> optax.GradientTransformation:
-    """Global-norm clip -> AdamW on a linear-warmup + cosine-decay schedule."""
+    """Global-norm clip -> AdamW on a linear-warmup + cosine-decay schedule.
+
+    With ``grad_accum`` > 1 the chain wraps in ``optax.MultiSteps``:
+    gradients from ``grad_accum`` consecutive micro-batches average into
+    one update, multiplying the effective batch size without growing the
+    per-step activation footprint. The schedule then counts optimizer
+    updates (``total_steps // grad_accum``), not micro-steps.
+    """
+    updates = max(1, cfg.total_steps // cfg.grad_accum)
     schedule = optax.warmup_cosine_decay_schedule(
         init_value=0.0,
         peak_value=cfg.peak_lr,
-        warmup_steps=cfg.warmup_steps,
-        decay_steps=cfg.total_steps,
+        warmup_steps=min(cfg.warmup_steps, max(0, updates - 1)),
+        decay_steps=updates,
         end_value=cfg.peak_lr * cfg.final_lr_ratio,
     )
-    return optax.chain(
+    opt = optax.chain(
         optax.clip_by_global_norm(cfg.clip_norm),
         optax.adamw(schedule, weight_decay=cfg.weight_decay),
     )
+    if cfg.grad_accum > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=cfg.grad_accum)
+    return opt
+
+
+def _loop_ema_decay(cfg: TrainLoopConfig) -> Optional[float]:
+    """Per-micro-step EMA decay such that the decay per optimizer update is
+    exactly ``cfg.ema_decay`` regardless of grad_accum (the train step
+    updates the EMA every micro-step)."""
+    if cfg.ema_decay is None:
+        return None
+    return float(cfg.ema_decay ** (1.0 / cfg.grad_accum))
 
 
 def _compute_dtype(cfg: TrainLoopConfig):
@@ -120,6 +146,7 @@ def _run_loop(
     needs_key: bool,
     mesh=None,
     on_log: Optional[Callable[[dict], None]] = None,
+    eval_fn: Optional[Callable[[dict], float]] = None,
 ) -> tuple[dict, list[dict]]:
     """Shared inner loop: prefetch, step, log JSONL, checkpoint, resume-aware."""
     out_dir = Path(cfg.out_dir)
@@ -155,25 +182,58 @@ def _run_loop(
         pending.clear()
         t0 = time.perf_counter()
 
+    last_eval = -1
+
+    def run_eval(step: int) -> None:
+        nonlocal last_eval
+        if step == last_eval:
+            return
+        last_eval = step
+        flush()
+        rec = {"step": step, "eval_loss": eval_fn(state)}
+        with log_path.open("a") as fh:
+            fh.write(json.dumps(rec) + "\n")
+        history.append(rec)
+        if on_log is not None:
+            on_log(rec)
+
+    profiling = False
     try:
         for step in range(start, cfg.total_steps):
             try:
                 batch = next(prefetch)
             except StopIteration:
                 break  # finite dataset exhausted: checkpoint and return
+            if cfg.profile_steps and step == cfg.profile_steps[0]:
+                jax.profiler.start_trace(
+                    cfg.profile_dir or str(out_dir / "profile")
+                )
+                profiling = True
             if needs_key:
                 state, loss = step_fn(state, batch, jax.random.fold_in(root_key, step))
             else:
                 state, loss = step_fn(state, batch)
+            if profiling and step + 1 >= cfg.profile_steps[1]:
+                jax.block_until_ready(loss)
+                jax.profiler.stop_trace()
+                profiling = False
             pending.append((step + 1, loss))
             if (step + 1) % cfg.log_every == 0:
                 flush()
+            if eval_fn is not None and cfg.eval_every and (
+                (step + 1) % cfg.eval_every == 0
+            ):
+                run_eval(step + 1)
             if cfg.ckpt_every and (step + 1) % cfg.ckpt_every == 0:
                 flush()
                 _save_ckpt(state, out_dir)
     finally:
+        if profiling:
+            jax.profiler.stop_trace()
         prefetch.close()
     flush()
+    if eval_fn is not None and cfg.eval_every:
+        run_eval(int(state["step"]))
     _save_ckpt(state, out_dir)
     return state, history
 
@@ -187,6 +247,7 @@ def run_flow_training(
     params=None,
     attn_impl: str = "auto_train",
     on_log: Optional[Callable[[dict], None]] = None,
+    eval_batches: Optional[list[dict]] = None,
 ) -> tuple[dict, list[dict]]:
     """Train the Stage-I denoiser with the rectified-flow objective.
 
@@ -194,7 +255,10 @@ def run_flow_training(
     with ``mesh`` given, params/moments shard Megatron-style and the batch
     shards over dp — the same layouts the inference stack and
     MULTICHIP_AUDIT certify. Resumes from ``out_dir/ckpt_latest.npz`` when
-    present (cfg.resume). Returns (final state, loss history).
+    present (cfg.resume). ``eval_batches`` (a fixed list of held-out host
+    batches, evaluated every cfg.eval_every steps on the EMA weights when
+    tracked, with deterministic noise/sigma draws and no CFG dropout) adds
+    ``eval_loss`` records to the log. Returns (final state, loss history).
     """
     if params is None:
         params = init_denoiser(jax.random.key(cfg.seed), model_cfg)
@@ -215,10 +279,59 @@ def run_flow_training(
         attn_impl=attn_impl,
         mesh=mesh,
         compute_dtype=_compute_dtype(cfg),
-        ema_decay=cfg.ema_decay,
+        ema_decay=_loop_ema_decay(cfg),
     )
+
+    eval_fn = None
+    if eval_batches:
+        from actionmesh_tpu.training.flow_train import flow_matching_loss
+
+        @jax.jit
+        def eval_loss(eval_params, batch, key):
+            return flow_matching_loss(
+                eval_params,
+                model_cfg,
+                batch,
+                key,
+                p_uncond=0.0,
+                shift=cfg.shift,
+                attn_impl=attn_impl,
+                mesh=mesh,
+                remat=True,
+                compute_dtype=_compute_dtype(cfg),
+            )
+
+        sharding = batch_sharding(mesh) if mesh is not None else None
+        held_out = [
+            jax.tree.map(
+                lambda x: jax.device_put(x, sharding) if sharding else jnp.asarray(x),
+                b,
+            )
+            for b in eval_batches
+        ]
+        eval_key = jax.random.key(cfg.seed + 1)
+
+        def eval_fn(current_state: dict) -> float:
+            eval_params = (
+                current_state["ema_params"]
+                if "ema_params" in current_state
+                else current_state["params"]
+            )
+            losses = [
+                eval_loss(eval_params, b, jax.random.fold_in(eval_key, i))
+                for i, b in enumerate(held_out)
+            ]
+            return float(sum(float(l) for l in losses) / len(losses))
+
     return _run_loop(
-        state, step_fn, batches, cfg, needs_key=True, mesh=mesh, on_log=on_log
+        state,
+        step_fn,
+        batches,
+        cfg,
+        needs_key=True,
+        mesh=mesh,
+        on_log=on_log,
+        eval_fn=eval_fn,
     )
 
 
@@ -231,6 +344,7 @@ def run_decoder_training(
     params=None,
     attn_impl: str = "auto_train",
     on_log: Optional[Callable[[dict], None]] = None,
+    eval_batches: Optional[list[dict]] = None,
 ) -> tuple[dict, list[dict]]:
     """Train the Stage-II decoder with masked position MSE (same loop/IO
     contract as run_flow_training; batches use the
@@ -253,6 +367,43 @@ def run_decoder_training(
         mesh=mesh,
         compute_dtype=_compute_dtype(cfg),
     )
+
+    eval_fn = None
+    if eval_batches:
+        from actionmesh_tpu.training.decoder_train import decoder_loss
+
+        @jax.jit
+        def eval_loss(eval_params, batch):
+            return decoder_loss(
+                eval_params,
+                model_cfg,
+                batch,
+                attn_impl=attn_impl,
+                mesh=mesh,
+                remat=True,
+                compute_dtype=_compute_dtype(cfg),
+            )
+
+        sharding = batch_sharding(mesh) if mesh is not None else None
+        held_out = [
+            jax.tree.map(
+                lambda x: jax.device_put(x, sharding) if sharding else jnp.asarray(x),
+                b,
+            )
+            for b in eval_batches
+        ]
+
+        def eval_fn(current_state: dict) -> float:
+            losses = [eval_loss(current_state["params"], b) for b in held_out]
+            return float(sum(float(l) for l in losses) / len(losses))
+
     return _run_loop(
-        state, step_fn, batches, cfg, needs_key=False, mesh=mesh, on_log=on_log
+        state,
+        step_fn,
+        batches,
+        cfg,
+        needs_key=False,
+        mesh=mesh,
+        on_log=on_log,
+        eval_fn=eval_fn,
     )

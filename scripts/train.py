@@ -81,6 +81,30 @@ def build_args() -> argparse.ArgumentParser:
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--warmup", type=int, default=None, help="default: steps//10")
     p.add_argument("--clip-norm", type=float, default=1.0)
+    p.add_argument(
+        "--grad-accum",
+        type=int,
+        default=1,
+        help="average gradients over N micro-batches per optimizer update",
+    )
+    p.add_argument(
+        "--eval-fraction",
+        type=float,
+        default=0.0,
+        help="hold out this fraction of windows for eval (0 = off)",
+    )
+    p.add_argument(
+        "--eval-every", type=int, default=100, help="eval cadence in steps"
+    )
+    p.add_argument(
+        "--eval-batches", type=int, default=4, help="held-out batches to average"
+    )
+    p.add_argument(
+        "--profile-steps",
+        metavar="A:B",
+        default=None,
+        help="capture a jax.profiler trace over micro-steps [A, B)",
+    )
     p.add_argument("--weight-decay", type=float, default=0.01)
     p.add_argument("--ema-decay", type=float, default=0.999)
     p.add_argument("--p-uncond", type=float, default=0.1)
@@ -185,24 +209,34 @@ def main(argv=None) -> int:
         run_flow_training,
     )
 
+    profile_steps = None
+    if args.profile_steps:
+        a, _, b = args.profile_steps.partition(":")
+        profile_steps = (int(a), int(b))
     loop_cfg = TrainLoopConfig(
         total_steps=args.steps,
         peak_lr=args.lr,
         warmup_steps=args.warmup if args.warmup is not None else args.steps // 10,
         clip_norm=args.clip_norm,
         weight_decay=args.weight_decay,
+        grad_accum=args.grad_accum,
         ema_decay=args.ema_decay,
         p_uncond=args.p_uncond,
         compute_dtype=args.compute_dtype,
         seed=args.seed,
         log_every=args.log_every,
         ckpt_every=args.ckpt_every,
+        eval_every=args.eval_every,
         out_dir=args.out,
         resume=not args.no_resume,
+        profile_steps=profile_steps,
     )
     mesh = make_mesh(**args.mesh) if args.mesh else None
 
     def echo(rec):
+        if "eval_loss" in rec:
+            print(f"step {rec['step']:6d}  EVAL loss {rec['eval_loss']:.6f}", flush=True)
+            return
         print(
             f"step {rec['step']:6d}  loss {rec['loss']:.6f}"
             + (
@@ -234,17 +268,38 @@ def main(argv=None) -> int:
         else:
             data_dir = Path(args.data_dir)
         dataset = ClipWindowDataset(data_dir, window=args.window)
+        eval_set = None
+        if args.eval_fraction > 0:
+            from actionmesh_tpu.training.data import split_windows
+            import itertools
+
+            dataset, eval_ds = split_windows(
+                dataset, args.eval_fraction, seed=args.seed
+            )
+            eval_set = list(
+                itertools.islice(
+                    flow_batches(eval_ds, min(args.batch, len(eval_ds)), seed=0, epochs=1),
+                    args.eval_batches,
+                )
+            )
         print(
             f"flow training: {len(dataset)} windows "
             f"({dataset.skipped_clips} clips too short), batch {args.batch}, "
             f"{args.steps} steps -> {args.out}"
+            + (f", eval on {len(eval_set)} held-out batches" if eval_set else "")
         )
         batches = flow_batches(dataset, args.batch, seed=args.seed)
         state, history = run_flow_training(
-            model_cfg, batches, loop_cfg, mesh=mesh, on_log=echo
+            model_cfg,
+            batches,
+            loop_cfg,
+            mesh=mesh,
+            on_log=echo,
+            eval_batches=eval_set,
         )
     else:
         model_cfg = decoder_model_config(args.size)
+        eval_set = None
         if args.synthetic:
             print(
                 f"decoder training (synthetic): batch {args.batch}, "
@@ -260,6 +315,25 @@ def main(argv=None) -> int:
             dataset = DecoderTrackDataset(
                 args.data_dir, args.tracks_dir, window=args.window
             )
+            if args.eval_fraction > 0:
+                from actionmesh_tpu.training.data import split_windows
+                import itertools
+
+                dataset, eval_ds = split_windows(
+                    dataset, args.eval_fraction, seed=args.seed
+                )
+                eval_set = list(
+                    itertools.islice(
+                        decoder_batches(
+                            eval_ds,
+                            min(args.batch, len(eval_ds)),
+                            vertex_bucket=args.vertex_bucket,
+                            seed=0,
+                            epochs=1,
+                        ),
+                        args.eval_batches,
+                    )
+                )
             print(
                 f"decoder training: {len(dataset)} windows "
                 f"({dataset.skipped_clips} clips too short), batch "
@@ -273,7 +347,12 @@ def main(argv=None) -> int:
                 seed=args.seed,
             )
         state, history = run_decoder_training(
-            model_cfg, batches, loop_cfg, mesh=mesh, on_log=echo
+            model_cfg,
+            batches,
+            loop_cfg,
+            mesh=mesh,
+            on_log=echo,
+            eval_batches=eval_set,
         )
 
     if args.export_inference:
@@ -284,7 +363,8 @@ def main(argv=None) -> int:
         )
         print(f"exported inference checkpoint: {out}")
 
-    final = history[-1]["loss"] if history else float("nan")
+    train_losses = [h["loss"] for h in history if "loss" in h]
+    final = train_losses[-1] if train_losses else float("nan")
     print(f"done: step {int(state['step'])}, final loss {final:.6f}")
     return 0
 
