@@ -27,7 +27,7 @@ logger = logging.getLogger(__name__)
 
 def _compute_per_frame_icp(
     gt_pc: np.ndarray, pred_pc: np.ndarray, n_iter: int = 200,
-    nn_every: int = 4,
+    nn_every: int = 1,
 ) -> Transform:
     """All T per-frame alignments fused into one batched device loop.
 
@@ -35,10 +35,12 @@ def _compute_per_frame_icp(
     evaluator's T=16 problems into a single (T*24)-transform optimization
     is ~4x faster with identical per-problem math (actionbench/icp.py).
 
-    ``nn_every=1`` reproduces the reference's exact math (chamfer min
-    differentiated every step, ref actionbench/icp.py:91-106);
-    ``nn_every=4`` is the default stop-grad approximation (BENCH_NOTES r3
-    quantifies the delta on the synthetic suite).
+    ``nn_every=1`` (default) reproduces the reference's exact math (chamfer
+    min differentiated every step, ref actionbench/icp.py:91-106). The
+    stop-grad approximation (``nn_every=4``) converges measurably worse
+    where ICP actually works — CD-Motion +156% on the synthetic rigid
+    class — while saving no meaningful wall time, so exactness is the
+    eval default (BENCH_NOTES r3e, full 128-sample A/B).
     """
     return gradient_icp_multi(
         pc_pred=pred_pc, pc_gt=gt_pc, lr=0.01, n_iter=n_iter,
@@ -55,7 +57,7 @@ def compute_chamfer_3d_4d(
     n_pts_chamfer: int = 100_000,
     seed: int = 44,
     icp_iters: int = 200,
-    icp_nn_every: int = 4,
+    icp_nn_every: int = 1,
 ) -> tuple[float, float, float]:
     """Returns (cd_3d, cd_4d, cd_motion); cd_motion is 0.0 unless is_4D."""
     del device

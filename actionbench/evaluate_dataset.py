@@ -136,7 +136,7 @@ def evaluate_sample(
     mesh_pattern: str = "mesh_*.glb",
     is_4d: bool = True,
     icp_iters: int = 200,
-    icp_nn_every: int = 4,
+    icp_nn_every: int = 1,
 ) -> SampleResult:
     result = SampleResult(uid=uid)
     try:
@@ -219,7 +219,7 @@ def evaluate_dataset(
     recompute: bool = False,
     is_4d: bool = True,
     icp_iters: int = 200,
-    icp_nn_every: int = 4,
+    icp_nn_every: int = 1,
 ) -> DatasetResults:
     """Evaluate all samples; resumable via the output CSV."""
     gt_root = Path(gt_root)

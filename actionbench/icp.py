@@ -183,7 +183,7 @@ def _icp_optimize(
     carry,
     lr: float = 0.01,
     n_rounds: int = 25,
-    nn_every: int = 4,
+    nn_every: int = 1,
     nn_chunk: int = 2048,
 ):
     """Batched Adam over (translation, 6D rotation, scale).
@@ -290,7 +290,7 @@ def gradient_icp_multi(
     pc_gt: np.ndarray,
     lr: float = 0.01,
     n_iter: int = 200,
-    nn_every: int = 4,
+    nn_every: int = 1,
     rounds_per_launch: int = 25,
 ) -> Transform:
     """Best rigid+scale alignment for K independent problems in one fused
@@ -333,7 +333,7 @@ def gradient_icp(
     pc_gt: np.ndarray,
     lr: float = 0.01,
     n_iter: int = 200,
-    nn_every: int = 4,
+    nn_every: int = 1,
     rounds_per_launch: int = 25,
 ) -> Transform:
     """Best rigid+scale alignment of pc_pred onto pc_gt over 24 rotation
