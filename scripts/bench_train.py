@@ -35,7 +35,7 @@ def sync(x):
 
 def bench_attention_bwd():
     from actionmesh_tpu.ops.flash_attention_bwd import flash_attention_trainable
-    from actionmesh_tpu.ops.attention import chunked_attention
+    from actionmesh_tpu.ops.attention import chunked_attention_trainable
 
     B, H, S, D = 1, 16, 32784, 128
     key = jax.random.PRNGKey(0)
@@ -74,13 +74,18 @@ def bench_attention_bwd():
         lambda q, k, v: flash_attention_trainable(q, k, v, None),
     )
     t_chunk = run(
-        "chunked  (XLA autodiff)",
-        lambda q, k, v: chunked_attention(q, k, v),
+        "chunked  (XLA custom_vjp, O(S) backward)",
+        lambda q, k, v: chunked_attention_trainable(q, k, v, None),
     )
     print(f"speedup: {t_chunk / t_flash:.2f}x")
 
 
-def bench_full_step():
+def bench_full_step(opt_name: str = "adafactor", frames: int = 16):
+    """Single-chip training-step datum. At T=16 production shape, bf16
+    params + bf16 Adam moments need 16.53 GB vs the v5e's 15.75 — adamw at
+    full T only fits on the sharded mesh (MULTICHIP_AUDIT: 5.1 GB/device
+    args on dp2 x tp4). Single-chip options measured here: adafactor
+    (factored second moment, fits at T=16) or adamw at T=8."""
     import optax
 
     from actionmesh_tpu.models.denoiser import DenoiserConfig, init_denoiser
@@ -88,7 +93,7 @@ def bench_full_step():
 
     cfg = DenoiserConfig()
     params = init_denoiser(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
-    B, T, N, S = 1, 16, cfg.num_tokens_nominal, 257
+    B, T, N, S = 1, frames, cfg.num_tokens_nominal, 257
     batch = {
         "latents": jax.random.normal(
             jax.random.PRNGKey(1), (B, T, N, cfg.in_channels), jnp.float32
@@ -103,7 +108,10 @@ def bench_full_step():
             axis=1,
         ),
     }
-    optimizer = optax.adamw(1e-4)
+    optimizer = (
+        optax.adamw(1e-4) if opt_name == "adamw" else optax.adafactor(1e-4)
+    )
+    print(f"full step: optimizer={opt_name}, T={T}")
     # bf16 params end-to-end on one chip (see module docstring)
     step = make_train_step(cfg, optimizer, compute_dtype=None)
     state = init_train_state(params, optimizer)
@@ -126,9 +134,11 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-full", action="store_true")
     ap.add_argument("--skip-attn", action="store_true")
+    ap.add_argument("--opt", choices=("adamw", "adafactor"), default="adafactor")
+    ap.add_argument("--frames", type=int, default=16)
     args = ap.parse_args()
     print(f"backend: {jax.default_backend()}")
     if not args.skip_attn:
         bench_attention_bwd()
     if not args.skip_full:
-        bench_full_step()
+        bench_full_step(args.opt, args.frames)
