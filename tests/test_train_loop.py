@@ -826,3 +826,53 @@ class TestLoopExtensions:
         out = capsys.readouterr().out
         assert rc == 0
         assert "EVAL loss" in out
+
+
+@pytest.mark.slow
+class TestShardedGradAccum:
+    def test_sharded_accum_loop_matches_unsharded(self, clip_dir, tmp_path):
+        """MultiSteps wraps the optimizer when grad_accum > 1; its
+        accumulated-gradient tree and inner Adam moments must shard like
+        the params (optimizer_state_shardings treats any params-mirroring
+        subtree as shardable). Trajectory must match the unsharded loop."""
+        base = dict(
+            total_steps=4,
+            grad_accum=2,
+            peak_lr=1e-3,
+            warmup_steps=0,
+            ema_decay=0.9,
+            p_uncond=0.0,
+            seed=0,
+            log_every=1,
+            ckpt_every=0,
+        )
+        ds = ClipWindowDataset(clip_dir, window=4)
+        state_a, hist_a = run_flow_training(
+            TINY,
+            flow_batches(ds, 2, seed=0),
+            TrainLoopConfig(out_dir=str(tmp_path / "a"), **base),
+        )
+        mesh = make_mesh(8, dp=2, tp=4)
+        state_b, hist_b = run_flow_training(
+            TINY,
+            flow_batches(ds, 2, seed=0),
+            TrainLoopConfig(out_dir=str(tmp_path / "b"), **base),
+            mesh=mesh,
+        )
+        for ha, hb in zip(hist_a, hist_b):
+            assert abs(ha["loss"] - hb["loss"]) < 2e-4
+        for x, y in zip(
+            jax.tree.leaves(state_a["params"]), jax.tree.leaves(state_b["params"])
+        ):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), atol=2e-4, rtol=2e-4
+            )
+        # the accumulation tree really lives sharded on the mesh
+        import optax
+
+        from actionmesh_tpu.training.loop import make_optimizer
+
+        opt_state = state_b["opt_state"]
+        assert isinstance(opt_state, optax.MultiStepsState)
+        acc_leaf = jax.tree.leaves(opt_state.acc_grads)[0]
+        assert len(acc_leaf.sharding.device_set) == 8
