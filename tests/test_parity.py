@@ -95,11 +95,14 @@ class TestDinoV2Parity:
         from actionmesh_tpu.models.dinov2 import DinoV2Config, dinov2_forward
         from actionmesh_tpu.utils.weights import convert_dinov2
 
+        # NB: HF Dinov2Config sizes its MLP via mlp_ratio (no
+        # intermediate_size knob) — keep both configs on the same ratio or
+        # the converter's architecture validation rejects the checkpoint.
         hf_cfg = transformers.Dinov2Config(
             hidden_size=32,
             num_hidden_layers=2,
             num_attention_heads=4,
-            intermediate_size=64,
+            mlp_ratio=4,
             patch_size=14,
             image_size=70,
             layerscale_value=1e-2,
@@ -109,7 +112,7 @@ class TestDinoV2Parity:
 
         state = {k: v.detach().numpy() for k, v in model.state_dict().items()}
         cfg = DinoV2Config(
-            hidden_size=32, num_layers=2, num_heads=4, mlp_ratio=2,
+            hidden_size=32, num_layers=2, num_heads=4, mlp_ratio=4,
             patch_size=14, image_size=70, layerscale_init=1e-2,
         )
         params = convert_dinov2(state, cfg, dtype=jnp.float32)

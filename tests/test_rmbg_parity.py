@@ -225,8 +225,9 @@ class TestRMBGParity:
         params = convert_rmbg_weights(sd)
         n_leaves = sum(1 for _ in _iter_leaves(params))
         # every conv contributes kernel+bias; BN folded in -> 4 tensors per
-        # REBNCONV collapse to the conv's 2
-        n_convs = sum(1 for k in sd if k.endswith(".weight") and "bn" not in k)
+        # REBNCONV collapse to the conv's 2 (count convs by 4-D weights —
+        # name filtering fails: "rebnconv" contains "bn")
+        n_convs = sum(1 for k, v in sd.items() if k.endswith(".weight") and v.ndim == 4)
         assert n_leaves == 2 * n_convs
         x = jnp.zeros((1, 128, 128, 3), jnp.float32)
         out = np.asarray(rmbg_forward(params, x))
