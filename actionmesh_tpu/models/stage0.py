@@ -126,6 +126,7 @@ class DevTripoSG:
                 device_mesh=self._device_mesh,
             )
             self._pipe.sdf_regularizer = _dev_sdf_regularizer
+            self._pipe.sdf_regularizer_jax = _dev_sdf_regularizer_jax
         return self._pipe
 
     def __call__(self, image, **kwargs):
@@ -141,6 +142,14 @@ def _dev_sdf_regularizer(pts: np.ndarray, vals: np.ndarray) -> np.ndarray:
     the extraction convention."""
     r = np.linalg.norm(pts, axis=-1)
     return (r - 0.65) + 0.12 * np.tanh(vals.astype(np.float32))
+
+
+def _dev_sdf_regularizer_jax(pts, vals):
+    """Device-side mirror of ``_dev_sdf_regularizer`` (same math in jnp),
+    used by the single-dispatch grid-eval fast path
+    (``models/triposg/vae.query_sdf_grid_inside``)."""
+    r = jnp.linalg.norm(pts, axis=-1)
+    return (r - 0.65) + 0.12 * jnp.tanh(vals.astype(jnp.float32))
 
 
 def make_image_to_3d(

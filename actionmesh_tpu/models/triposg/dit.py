@@ -60,8 +60,14 @@ def triposg_dit_forward(
     diffusion_time: jnp.ndarray,
     attn_impl: str = "auto",
     mesh=None,
+    uncond_batch: int = 0,
 ) -> jnp.ndarray:
-    """One velocity prediction. latents (B, N, C), context (B, S, Dc)."""
+    """One velocity prediction. latents (B, N, C), context (B, S, Dc).
+
+    ``uncond_batch``: leading batch entries whose context is all-zero (the
+    CFG unconditional branch) — their cross-attention collapses to the
+    out-projection bias exactly (same skip as Stage I, BENCH_NOTES r3b).
+    """
     B = latents.shape[0]
     out = denoiser_forward(
         params,
@@ -73,5 +79,6 @@ def triposg_dit_forward(
         mask=None,
         attn_impl=attn_impl,
         mesh=mesh,
+        uncond_batch=uncond_batch,
     )
     return out[:, 0]

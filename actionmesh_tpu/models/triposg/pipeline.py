@@ -37,6 +37,8 @@ from actionmesh_tpu.models.triposg.vae import (
     encode_surface,
     init_triposg_vae,
     query_sdf,
+    query_sdf_at_ids,
+    query_sdf_grid_inside,
 )
 from actionmesh_tpu.ops.isosurface import hierarchical_extract_geometry
 from actionmesh_tpu.sampling.flow_schedule import get_schedule
@@ -86,7 +88,7 @@ def _flow_sample(
         dt = jnp.full((2 * B,), t, latents.dtype)
         pred = triposg_dit_forward(
             dit_params, dit_cfg, hidden, context_g, dt, attn_impl=attn_impl,
-            mesh=mesh,
+            mesh=mesh, uncond_batch=B,
         )
         uncond, cond = jnp.split(pred, 2, axis=0)
         v = uncond + guidance_scale * (cond - uncond)
@@ -388,11 +390,43 @@ class TripoSGPipeline:
                     out = reg(pts, out)
                 return out
 
+            # Device fast paths: on-device lattice-point generation, all
+            # chunks in one lax.scan dispatch, sign-only coarse download
+            # (~3x faster through the TPU tunnel, BENCH_NOTES r3g). Only
+            # usable when there is no host-side regularizer or its jax
+            # mirror is provided (dev mode sets both).
+            reg_host = getattr(self, "sdf_regularizer", None)
+            reg_jax = getattr(self, "sdf_regularizer_jax", None)
+            grid_inside_fn = ids_val_fn = None
+            if reg_host is None or reg_jax is not None:
+
+                def grid_inside_fn(lo, step, Rc, level):
+                    return np.asarray(
+                        query_sdf_grid_inside(
+                            self.vae_params, self.vae_cfg, kv,
+                            jnp.asarray(lo), jnp.asarray(step),
+                            jnp.float32(level), Rc=Rc,
+                            attn_impl=self._attn_impl, regularizer=reg_jax,
+                        )
+                    )
+
+                def ids_val_fn(ijk, lo, fine_step):
+                    return np.asarray(
+                        query_sdf_at_ids(
+                            self.vae_params, self.vae_cfg, kv,
+                            jnp.asarray(ijk), jnp.asarray(lo),
+                            jnp.asarray(fine_step),
+                            attn_impl=self._attn_impl, regularizer=reg_jax,
+                        )
+                    )
+
             v, f = hierarchical_extract_geometry(
                 sdf_fn,
                 bounds=bounds,
                 dense_octree_depth=dense_octree_depth,
                 hierarchical_octree_depth=hierarchical_octree_depth,
+                grid_inside_fn=grid_inside_fn,
+                ids_val_fn=ids_val_fn,
             )
             if len(f) == 0:
                 logger.warning(

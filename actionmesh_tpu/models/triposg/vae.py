@@ -222,15 +222,14 @@ def decode_kv(
     return x
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "attn_impl"))
-def query_sdf(
+def _query_core(
     params: Params,
     cfg: TripoSGVAEConfig,
     kv: jnp.ndarray,
     points: jnp.ndarray,
     attn_impl: str = "auto",
 ) -> jnp.ndarray:
-    """Query the SDF field: points (B, Q, 3) -> (B, Q) values (fp32)."""
+    """SDF field query body: points (B, Q, 3) -> (B, Q) values (fp32)."""
     q = linear(params["proj_query"], _embed_points(cfg, points))
     h = q + attention(
         params["dec_cross_attn"],
@@ -241,3 +240,110 @@ def query_sdf(
     )
     out = linear(params["dec_proj_out"], layer_norm(params["dec_norm_out"], h))
     return out[..., 0]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "attn_impl"))
+def query_sdf(
+    params: Params,
+    cfg: TripoSGVAEConfig,
+    kv: jnp.ndarray,
+    points: jnp.ndarray,
+    attn_impl: str = "auto",
+) -> jnp.ndarray:
+    """Query the SDF field: points (B, Q, 3) -> (B, Q) values (fp32)."""
+    return _query_core(params, cfg, kv, points, attn_impl)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "Rc", "chunk", "attn_impl", "regularizer"),
+)
+def query_sdf_grid_inside(
+    params: Params,
+    cfg: TripoSGVAEConfig,
+    kv: jnp.ndarray,
+    lo: jnp.ndarray,
+    step: jnp.ndarray,
+    level: jnp.ndarray,
+    Rc: int,
+    chunk: int = 1 << 18,
+    attn_impl: str = "auto",
+    regularizer=None,
+) -> jnp.ndarray:
+    """Inside-mask of the dense ``Rc**3`` SDF lattice, in ONE dispatch.
+
+    The hierarchical extractor's coarse pass only consumes the sign of the
+    field (``ops/isosurface.py`` crossing-cell detection), yet the host-
+    callback path pays a 3 MB H2D point upload + 1 MB D2H value download +
+    dispatch latency per 2^18-point chunk — ~100 ms/chunk through the
+    tunnel vs ~38 ms of device compute (BENCH_NOTES r3g). Here the lattice
+    points are generated ON DEVICE from their flat index (an affine map),
+    all chunks run inside one ``lax.scan``, and only the int8 inside-mask
+    (Rc^3 bytes total) returns to host.
+
+    ``regularizer`` (static): optional jax-traceable ``(pts, vals)->vals``
+    applied before thresholding — the device-side mirror of the pipeline's
+    host ``sdf_regularizer`` hook (dev-mode random-weight runs).
+    Returns int8 (n_chunks*chunk,); entries past ``Rc**3`` are padding.
+    """
+    n = Rc**3
+    n_chunks = -(-n // chunk)
+    lo = lo.astype(jnp.float32)
+    step = step.astype(jnp.float32)
+
+    def body(carry, ci):
+        idx = ci * chunk + jnp.arange(chunk, dtype=jnp.int32)
+        kk = idx % Rc
+        jj = (idx // Rc) % Rc
+        ii = idx // (Rc * Rc)
+        pts = lo[None, :] + (
+            jnp.stack([ii, jj, kk], axis=-1).astype(jnp.float32)
+            * step[None, :]
+        )
+        vals = _query_core(params, cfg, kv, pts[None], attn_impl)[0]
+        if regularizer is not None:
+            vals = regularizer(pts, vals)
+        return carry, (vals < level).astype(jnp.int8)
+
+    _, inside = jax.lax.scan(
+        body, None, jnp.arange(n_chunks, dtype=jnp.int32)
+    )
+    return inside.reshape(-1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "chunk", "attn_impl", "regularizer")
+)
+def query_sdf_at_ids(
+    params: Params,
+    cfg: TripoSGVAEConfig,
+    kv: jnp.ndarray,
+    ijk: jnp.ndarray,
+    lo: jnp.ndarray,
+    fine_step: jnp.ndarray,
+    chunk: int = 1 << 18,
+    attn_impl: str = "auto",
+    regularizer=None,
+) -> jnp.ndarray:
+    """SDF values at lattice ids ``ijk`` (M, 3) int32, one dispatch.
+
+    Fine-pass companion of :func:`query_sdf_grid_inside`: positions derive
+    on device from integer lattice ids (12 B/point H2D instead of fp32
+    points), every chunk runs inside one ``lax.scan``, and the fp32 values
+    (needed for marching-cubes interpolation) come back in one transfer.
+    ``M`` must be a multiple of ``chunk`` (pad host-side; padded entries
+    return field values that the caller discards).
+    """
+    lo = lo.astype(jnp.float32)
+    fine_step = fine_step.astype(jnp.float32)
+    blocks = ijk.reshape(-1, chunk, 3)
+
+    def body(carry, blk):
+        pts = lo[None, :] + blk.astype(jnp.float32) * fine_step[None, :]
+        vals = _query_core(params, cfg, kv, pts[None], attn_impl)[0]
+        if regularizer is not None:
+            vals = regularizer(pts, vals)
+        return carry, vals.astype(jnp.float32)
+
+    _, vals = jax.lax.scan(body, None, blocks)
+    return vals.reshape(-1)

@@ -27,7 +27,7 @@ proportional to surface area, not volume.
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, Optional
 
 import numpy as np
 
@@ -312,12 +312,27 @@ def hierarchical_extract_geometry(
     level: float = 0.0,
     chunk: int = 1 << 18,
     method: str = "cubes",
+    grid_inside_fn: Optional[Callable] = None,
+    ids_val_fn: Optional[Callable] = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Coarse dense pass + fine re-evaluation only in surface-crossing cells.
 
     Matches the reference contract (dense depth 8 => 257^3 samples, refine
     depth 9) while keeping fine-level SDF queries proportional to surface
     area. Returns (vertices, faces).
+
+    Device fast paths (both optional; fall back to chunked ``sdf_fn`` host
+    callbacks when absent — BENCH_NOTES r3g measured the host round-trips
+    at ~3x the device compute through the TPU tunnel):
+
+      * ``grid_inside_fn(lo, step, Rc, level) -> int8 (>= Rc**3,)`` —
+        inside-mask of the dense lattice (row-major i,j,k; entries past
+        ``Rc**3`` are padding). The coarse pass only consumes signs, so
+        implementations can generate points on device and return one byte
+        per sample (``models/triposg/vae.query_sdf_grid_inside``).
+      * ``ids_val_fn(ijk_int32 (M, 3), lo, fine_step) -> fp32 (>= M,)`` —
+        field values at fine-lattice ids, M a multiple of the caller's
+        internal padding (``query_sdf_at_ids``).
     """
     lo, hi = np.array(bounds[:3]), np.array(bounds[3:])
     Rc = (1 << dense_octree_depth) + 1
@@ -339,22 +354,32 @@ def hierarchical_extract_geometry(
         pts[:, 2] = lo[2] + k * step[2]
         return pts
 
-    coarse_vals = np.empty(n_coarse, np.float32)
-    for start in range(0, n_coarse, chunk):
-        stop = min(start + chunk, n_coarse)
-        coarse_vals[start:stop] = np.asarray(
-            sdf_fn(_coarse_chunk_pts(start, stop)), np.float32
-        ).reshape(-1)
-    coarse_vals = coarse_vals.reshape(Rc, Rc, Rc)
-
-    if hierarchical_octree_depth <= dense_octree_depth:
-        return _triangulate_full_grid(
-            _grid_points(lo, hi, Rc), coarse_vals, level, method
+    use_sign_path = (
+        grid_inside_fn is not None
+        and hierarchical_octree_depth > dense_octree_depth
+    )
+    if use_sign_path:
+        inside_flat = np.asarray(grid_inside_fn(lo, step, Rc, level))
+        inside = (
+            inside_flat[:n_coarse].reshape(Rc, Rc, Rc).astype(np.uint8)
         )
+    else:
+        coarse_vals = np.empty(n_coarse, np.float32)
+        for start in range(0, n_coarse, chunk):
+            stop = min(start + chunk, n_coarse)
+            coarse_vals[start:stop] = np.asarray(
+                sdf_fn(_coarse_chunk_pts(start, stop)), np.float32
+            ).reshape(-1)
+        coarse_vals = coarse_vals.reshape(Rc, Rc, Rc)
+
+        if hierarchical_octree_depth <= dense_octree_depth:
+            return _triangulate_full_grid(
+                _grid_points(lo, hi, Rc), coarse_vals, level, method
+            )
+        inside = (coarse_vals < level).view(np.uint8)
 
     s = 1 << (hierarchical_octree_depth - dense_octree_depth)  # subdiv/axis
     # Crossing-cell detection as one uint8 accumulation (no 8-slice stack)
-    inside = (coarse_vals < level).view(np.uint8)
     acc = np.zeros((Rc - 1, Rc - 1, Rc - 1), np.uint8)
     for dx, dy, dz in _CUBE_CORNERS:
         acc += inside[dx : Rc - 1 + dx, dy : Rc - 1 + dy, dz : Rc - 1 + dz]
@@ -378,11 +403,22 @@ def hierarchical_extract_geometry(
     ui = uniq_ids // (fine_R * fine_R)
     uj = (uniq_ids // fine_R) % fine_R
     uk = uniq_ids % fine_R
-    uniq_pts = np.empty((len(uniq_ids), 3), np.float32)
-    uniq_pts[:, 0] = lo[0] + ui * fine_step[0]
-    uniq_pts[:, 1] = lo[1] + uj * fine_step[1]
-    uniq_pts[:, 2] = lo[2] + uk * fine_step[2]
-    uniq_vals = _eval_chunked(sdf_fn, uniq_pts, chunk)
+    if ids_val_fn is not None:
+        m = len(uniq_ids)
+        m_pad = -(-m // chunk) * chunk
+        ijk = np.zeros((m_pad, 3), np.int32)
+        ijk[:m, 0] = ui
+        ijk[:m, 1] = uj
+        ijk[:m, 2] = uk
+        uniq_vals = np.asarray(
+            ids_val_fn(ijk, lo, fine_step), np.float32
+        )[:m]
+    else:
+        uniq_pts = np.empty((len(uniq_ids), 3), np.float32)
+        uniq_pts[:, 0] = lo[0] + ui * fine_step[0]
+        uniq_pts[:, 1] = lo[1] + uj * fine_step[1]
+        uniq_pts[:, 2] = lo[2] + uk * fine_step[2]
+        uniq_vals = _eval_chunked(sdf_fn, uniq_pts, chunk)
     fine_vals = uniq_vals[inv].reshape(fine_ids.shape).astype(np.float32)
 
     # Native fast path: triangulate the fine lattices directly in C++

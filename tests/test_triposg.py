@@ -110,3 +110,155 @@ class TestPipeline:
         latent = tiny_pipeline.encode_to_latent(surface, seed=7)
         assert latent.shape == (1, 16, 8)
         assert latent.dtype == jnp.float32
+
+
+class TestGridFastPath:
+    """Single-dispatch device grid eval == chunked host-callback path.
+
+    The fast path (query_sdf_grid_inside / query_sdf_at_ids) generates
+    lattice points on device and returns signs/values in one transfer
+    (BENCH_NOTES r3g); these tests pin it to the host path's results.
+    """
+
+    def _setup(self):
+        from actionmesh_tpu.models.triposg.vae import (
+            query_sdf_at_ids,
+            query_sdf_grid_inside,
+        )
+
+        params = init_triposg_vae(jax.random.PRNGKey(0), TINY_VAE)
+        latent = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 8))
+        kv = decode_kv(params, TINY_VAE, latent, attn_impl="naive")
+        return params, kv, query_sdf_grid_inside, query_sdf_at_ids
+
+    def test_grid_inside_matches_host_values(self):
+        params, kv, query_sdf_grid_inside, _ = self._setup()
+        Rc = 9
+        lo = np.array([-1.0, -1.0, -1.0])
+        hi = np.array([1.0, 1.0, 1.0])
+        step = (hi - lo) / (Rc - 1)
+        inside = np.asarray(
+            query_sdf_grid_inside(
+                params, TINY_VAE, kv, jnp.asarray(lo), jnp.asarray(step),
+                jnp.float32(0.0), Rc=Rc, chunk=128, attn_impl="naive",
+            )
+        )
+        n = Rc**3
+        assert inside.shape[0] >= n
+        # host reference
+        idx = np.arange(n)
+        k = idx % Rc
+        j = (idx // Rc) % Rc
+        i = idx // (Rc * Rc)
+        pts = np.stack([lo[0] + i * step[0], lo[1] + j * step[1],
+                        lo[2] + k * step[2]], -1).astype(np.float32)
+        vals = np.asarray(
+            query_sdf(params, TINY_VAE, kv, jnp.asarray(pts)[None],
+                      attn_impl="naive")
+        )[0]
+        np.testing.assert_array_equal(inside[:n], (vals < 0.0).astype(np.int8))
+
+    def test_grid_inside_regularizer_applied(self):
+        params, kv, query_sdf_grid_inside, _ = self._setup()
+        from actionmesh_tpu.models.stage0 import (
+            _dev_sdf_regularizer,
+            _dev_sdf_regularizer_jax,
+        )
+
+        Rc = 5
+        lo = np.array([-1.0, -1.0, -1.0])
+        step = np.array([0.5, 0.5, 0.5])
+        inside = np.asarray(
+            query_sdf_grid_inside(
+                params, TINY_VAE, kv, jnp.asarray(lo), jnp.asarray(step),
+                jnp.float32(0.0), Rc=Rc, chunk=64, attn_impl="naive",
+                regularizer=_dev_sdf_regularizer_jax,
+            )
+        )
+        n = Rc**3
+        idx = np.arange(n)
+        k = idx % Rc
+        j = (idx // Rc) % Rc
+        i = idx // (Rc * Rc)
+        pts = np.stack([lo[0] + i * step[0], lo[1] + j * step[1],
+                        lo[2] + k * step[2]], -1).astype(np.float32)
+        vals = np.asarray(
+            query_sdf(params, TINY_VAE, kv, jnp.asarray(pts)[None],
+                      attn_impl="naive")
+        )[0]
+        expect = (_dev_sdf_regularizer(pts, vals) < 0.0).astype(np.int8)
+        np.testing.assert_array_equal(inside[:n], expect)
+
+    def test_at_ids_matches_host_values(self):
+        params, kv, _, query_sdf_at_ids = self._setup()
+        rng = np.random.default_rng(3)
+        m, chunk = 100, 64
+        ijk = rng.integers(0, 17, (m, 3)).astype(np.int32)
+        m_pad = -(-m // chunk) * chunk
+        ijk_pad = np.zeros((m_pad, 3), np.int32)
+        ijk_pad[:m] = ijk
+        lo = np.array([-1.0, -1.0, -1.0])
+        fine_step = np.array([0.125, 0.125, 0.125])
+        vals_fast = np.asarray(
+            query_sdf_at_ids(
+                params, TINY_VAE, kv, jnp.asarray(ijk_pad), jnp.asarray(lo),
+                jnp.asarray(fine_step), chunk=chunk, attn_impl="naive",
+            )
+        )[:m]
+        pts = (lo + ijk * fine_step).astype(np.float32)
+        vals_ref = np.asarray(
+            query_sdf(params, TINY_VAE, kv, jnp.asarray(pts)[None],
+                      attn_impl="naive")
+        )[0]
+        np.testing.assert_allclose(vals_fast, vals_ref, rtol=2e-5, atol=2e-5)
+
+    def test_hierarchical_fast_path_matches_host_path(self):
+        """End-to-end: extraction with device fast-path hooks == without."""
+        from actionmesh_tpu.ops.isosurface import hierarchical_extract_geometry
+
+        params, kv, query_sdf_grid_inside, query_sdf_at_ids = self._setup()
+
+        def sdf_fn(pts):
+            r = np.linalg.norm(pts, axis=-1)
+            vals = np.asarray(
+                query_sdf(params, TINY_VAE, kv, jnp.asarray(pts)[None],
+                          attn_impl="naive")
+            )[0]
+            return (r - 0.6) + 0.1 * np.tanh(vals)
+
+        def reg_jax(pts, vals):
+            r = jnp.linalg.norm(pts, axis=-1)
+            return (r - 0.6) + 0.1 * jnp.tanh(vals)
+
+        def grid_inside_fn(lo, step, Rc, level):
+            return np.asarray(
+                query_sdf_grid_inside(
+                    params, TINY_VAE, kv, jnp.asarray(lo), jnp.asarray(step),
+                    jnp.float32(level), Rc=Rc, chunk=256, attn_impl="naive",
+                    regularizer=reg_jax,
+                )
+            )
+
+        kwargs = dict(
+            bounds=(-1.0,) * 3 + (1.0,) * 3,
+            dense_octree_depth=3, hierarchical_octree_depth=4,
+            chunk=256,
+        )
+        v_ref, f_ref = hierarchical_extract_geometry(sdf_fn, **kwargs)
+
+        def ids_val_with_reg(ijk, lo, fine_step):
+            return np.asarray(
+                query_sdf_at_ids(
+                    params, TINY_VAE, kv, jnp.asarray(ijk), jnp.asarray(lo),
+                    jnp.asarray(fine_step), chunk=256, attn_impl="naive",
+                    regularizer=reg_jax,
+                )
+            )
+
+        v_fast, f_fast = hierarchical_extract_geometry(
+            sdf_fn, grid_inside_fn=grid_inside_fn,
+            ids_val_fn=ids_val_with_reg, **kwargs,
+        )
+        assert f_ref.shape == f_fast.shape
+        np.testing.assert_array_equal(f_ref, f_fast)
+        np.testing.assert_allclose(v_ref, v_fast, atol=1e-5)
