@@ -407,6 +407,7 @@ class TripoSGPipeline:
                             jnp.asarray(lo), jnp.asarray(step),
                             jnp.float32(level), Rc=Rc,
                             attn_impl=self._attn_impl, regularizer=reg_jax,
+                            mesh=self.device_mesh,
                         )
                     )
 
@@ -417,6 +418,7 @@ class TripoSGPipeline:
                             jnp.asarray(ijk), jnp.asarray(lo),
                             jnp.asarray(fine_step),
                             attn_impl=self._attn_impl, regularizer=reg_jax,
+                            mesh=self.device_mesh,
                         )
                     )
 

@@ -228,6 +228,7 @@ def _query_core(
     kv: jnp.ndarray,
     points: jnp.ndarray,
     attn_impl: str = "auto",
+    mesh=None,
 ) -> jnp.ndarray:
     """SDF field query body: points (B, Q, 3) -> (B, Q) values (fp32)."""
     q = linear(params["proj_query"], _embed_points(cfg, points))
@@ -237,6 +238,7 @@ def _query_core(
         heads=cfg.decoder_heads,
         encoder_hidden_states=kv.astype(jnp.float32),
         attn_impl=attn_impl,
+        mesh=mesh,
     )
     out = linear(params["dec_proj_out"], layer_norm(params["dec_norm_out"], h))
     return out[..., 0]
@@ -254,9 +256,33 @@ def query_sdf(
     return _query_core(params, cfg, kv, points, attn_impl)
 
 
+def _query_chunk(params, cfg, kv, pts, attn_impl, mesh):
+    """One flat chunk (Q, 3) -> (Q,) values, sharded when a mesh is given.
+
+    The lattice query axis is embarrassingly parallel: with a device mesh,
+    the chunk reshapes to a (dp, Q/dp) batch so the existing attention
+    shard machinery (dp over batch, tp over heads — ops/attention.py)
+    spreads the decode over the full mesh; ``kv`` broadcasts per dp shard
+    (2048 x W, negligible). Falls back to a single (1, Q) batch otherwise.
+    """
+    if mesh is not None:
+        dp = dict(zip(mesh.axis_names, mesh.devices.shape)).get("dp", 1)
+        if dp > 1 and pts.shape[0] % dp == 0:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            ptsb = jax.lax.with_sharding_constraint(
+                pts.reshape(dp, -1, 3), NamedSharding(mesh, P("dp"))
+            )
+            kvb = jnp.broadcast_to(kv[:1], (dp,) + kv.shape[1:])
+            return _query_core(
+                params, cfg, kvb, ptsb, attn_impl, mesh=mesh
+            ).reshape(-1)
+    return _query_core(params, cfg, kv, pts[None], attn_impl, mesh=mesh)[0]
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "Rc", "chunk", "attn_impl", "regularizer"),
+    static_argnames=("cfg", "Rc", "chunk", "attn_impl", "regularizer", "mesh"),
 )
 def query_sdf_grid_inside(
     params: Params,
@@ -269,6 +295,7 @@ def query_sdf_grid_inside(
     chunk: int = 1 << 18,
     attn_impl: str = "auto",
     regularizer=None,
+    mesh=None,
 ) -> jnp.ndarray:
     """Inside-mask of the dense ``Rc**3`` SDF lattice, in ONE dispatch.
 
@@ -300,7 +327,7 @@ def query_sdf_grid_inside(
             jnp.stack([ii, jj, kk], axis=-1).astype(jnp.float32)
             * step[None, :]
         )
-        vals = _query_core(params, cfg, kv, pts[None], attn_impl)[0]
+        vals = _query_chunk(params, cfg, kv, pts, attn_impl, mesh)
         if regularizer is not None:
             vals = regularizer(pts, vals)
         return carry, (vals < level).astype(jnp.int8)
@@ -312,7 +339,8 @@ def query_sdf_grid_inside(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "chunk", "attn_impl", "regularizer")
+    jax.jit,
+    static_argnames=("cfg", "chunk", "attn_impl", "regularizer", "mesh"),
 )
 def query_sdf_at_ids(
     params: Params,
@@ -324,6 +352,7 @@ def query_sdf_at_ids(
     chunk: int = 1 << 18,
     attn_impl: str = "auto",
     regularizer=None,
+    mesh=None,
 ) -> jnp.ndarray:
     """SDF values at lattice ids ``ijk`` (M, 3) int32, one dispatch.
 
@@ -340,7 +369,7 @@ def query_sdf_at_ids(
 
     def body(carry, blk):
         pts = lo[None, :] + blk.astype(jnp.float32) * fine_step[None, :]
-        vals = _query_core(params, cfg, kv, pts[None], attn_impl)[0]
+        vals = _query_chunk(params, cfg, kv, pts, attn_impl, mesh)
         if regularizer is not None:
             vals = regularizer(pts, vals)
         return carry, vals.astype(jnp.float32)

@@ -468,3 +468,62 @@ def test_production_shape_training_audit():
     report = audit_train_step(mesh, compile=True)
     fails = check_train_invariants(report, tp=4)
     assert not fails, "\n".join(fails)
+
+
+def test_sharded_sdf_grid_eval_matches_unsharded():
+    """Stage-0 SDF grid decode sharded over the mesh == unsharded.
+
+    The lattice query axis dp-shards (chunk reshaped to a dp batch) and
+    attention heads tp-shard inside _query_chunk
+    (models/triposg/vae.py); signs and fine values must be identical.
+    """
+    from actionmesh_tpu.models.triposg.vae import (
+        TripoSGVAEConfig,
+        decode_kv,
+        init_triposg_vae,
+        query_sdf_at_ids,
+        query_sdf_grid_inside,
+    )
+
+    cfg = TripoSGVAEConfig(
+        latent_channels=8, num_tokens=16, encoder_width=32,
+        encoder_layers=1, encoder_heads=2, decoder_width=32,
+        decoder_layers=1, decoder_heads=4,
+    )
+    params = init_triposg_vae(jax.random.PRNGKey(0), cfg)
+    latent = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 8))
+    kv = decode_kv(params, cfg, latent, attn_impl="chunked")
+
+    Rc, chunk = 9, 128
+    lo = jnp.asarray(np.array([-1.0, -1.0, -1.0]))
+    step = jnp.asarray(np.array([0.25, 0.25, 0.25]))
+    ref_inside = np.asarray(
+        query_sdf_grid_inside(
+            params, cfg, kv, lo, step, jnp.float32(0.0), Rc=Rc,
+            chunk=chunk, attn_impl="chunked",
+        )
+    )
+    mesh = make_mesh(8)  # dp2 x tp4
+    sharded_inside = np.asarray(
+        query_sdf_grid_inside(
+            params, cfg, kv, lo, step, jnp.float32(0.0), Rc=Rc,
+            chunk=chunk, attn_impl="flash", mesh=mesh,
+        )
+    )
+    np.testing.assert_array_equal(sharded_inside, ref_inside)
+
+    ijk = np.random.default_rng(2).integers(0, 17, (128, 3)).astype(np.int32)
+    fine_step = jnp.asarray(np.array([0.125, 0.125, 0.125]))
+    ref_vals = np.asarray(
+        query_sdf_at_ids(
+            params, cfg, kv, jnp.asarray(ijk), lo, fine_step,
+            chunk=64, attn_impl="chunked",
+        )
+    )
+    sharded_vals = np.asarray(
+        query_sdf_at_ids(
+            params, cfg, kv, jnp.asarray(ijk), lo, fine_step,
+            chunk=64, attn_impl="flash", mesh=mesh,
+        )
+    )
+    np.testing.assert_allclose(sharded_vals, ref_vals, rtol=1e-4, atol=1e-5)
