@@ -89,6 +89,7 @@ class TestICP:
         err = compute_chamfer_score(aligned, gt, n=0)
         assert err < 0.05
 
+    @pytest.mark.slow
     def test_icp_handles_flipped_orientation(self):
         """180-degree flip requires the canonical-rotation restarts."""
         rng = np.random.default_rng(3)

@@ -106,6 +106,7 @@ def test_trainable_bf16_grads_close():
         )
 
 
+@pytest.mark.slow
 def test_flow_training_grads_flash_train_vs_chunked():
     """End-to-end: denoiser training loss grads via the Pallas-backward
     flash path match the chunked-XLA path (interpret mode off-TPU)."""

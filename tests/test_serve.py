@@ -8,6 +8,8 @@ from http.server import ThreadingHTTPServer
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from tests.test_pipeline import tiny_pipeline, make_frames  # noqa: F401
 
 

@@ -13,6 +13,8 @@ with the plain path in fp32.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 

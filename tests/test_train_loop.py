@@ -179,6 +179,7 @@ class TestTrainingLoop:
         base.update(kw)
         return TrainLoopConfig(**base)
 
+    @pytest.mark.slow
     def test_loop_runs_logs_and_checkpoints(self, clip_dir, tmp_path):
         ds = ClipWindowDataset(clip_dir, window=4)
         cfg = self._cfg(tmp_path / "run")
@@ -195,6 +196,7 @@ class TestTrainingLoop:
         assert [h["step"] for h in log] == [1, 2, 3, 4, 5, 6]
         assert (tmp_path / "run" / "ckpt_latest.npz").exists()
 
+    @pytest.mark.slow
     def test_resume_continues_from_checkpoint(self, clip_dir, tmp_path):
         ds = ClipWindowDataset(clip_dir, window=4)
         out = tmp_path / "resume"
@@ -231,6 +233,7 @@ class TestTrainingLoop:
         for x, y in zip(a, b):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
 
+    @pytest.mark.slow
     def test_loss_decreases_on_learnable_synthetic_data(self, tmp_path):
         clip_dir = synthesize_clip_dir(
             tmp_path / "clips", n_clips=2, frames=8, seed=0
@@ -679,6 +682,7 @@ class TestLoopExtensions:
         with pytest.raises(ValueError, match="no training windows"):
             split_windows(ds, eval_fraction=1.0)
 
+    @pytest.mark.slow
     def test_grad_accum_matches_big_batch(self, clip_dir, tmp_path):
         """k micro-batches of size B with grad_accum=k == one batch of k*B
         (same data, p_uncond=0, ema off): the param trajectories agree."""
@@ -771,6 +775,7 @@ class TestLoopExtensions:
         p2 = np.asarray(jax.tree.leaves(state["params"])[0])
         assert not np.array_equal(p0, p2)  # update applied at k=2
 
+    @pytest.mark.slow
     def test_eval_hook_records_eval_loss(self, clip_dir, tmp_path):
         import itertools
 
@@ -795,6 +800,7 @@ class TestLoopExtensions:
         log_lines = (tmp_path / "ev" / "log.jsonl").read_text().splitlines()
         assert sum("eval_loss" in line for line in log_lines) == 2
 
+    @pytest.mark.slow
     def test_cli_eval_and_accum(self, tmp_path, capsys):
         import scripts.train as train_cli
 

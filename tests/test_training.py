@@ -80,6 +80,7 @@ def test_masked_velocity_mse_excludes_conditioning_frames():
     )
 
 
+@pytest.mark.slow
 def test_loss_decreases_overfitting_one_batch():
     params = init_denoiser(jax.random.PRNGKey(0), TINY)
     batch = tiny_batch(jax.random.PRNGKey(1))
@@ -96,6 +97,7 @@ def test_loss_decreases_overfitting_one_batch():
     assert float(loss) < 0.7 * first, (first, float(loss))
 
 
+@pytest.mark.slow
 def test_remat_forward_and_grads_match():
     params = init_denoiser(jax.random.PRNGKey(0), TINY)
     batch = tiny_batch(jax.random.PRNGKey(1))
@@ -187,6 +189,7 @@ def test_optimizer_state_inherits_param_shardings():
     assert get(mu).sharding.spec == get(sh).spec
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_continues_identically(tmp_path):
     from actionmesh_tpu.training.checkpoint import (
         restore_train_state,
@@ -288,6 +291,7 @@ def test_masked_position_mse_ignores_padding():
     )
 
 
+@pytest.mark.slow
 def test_decoder_loss_decreases_overfitting_one_batch():
     params = init_autoencoder(jax.random.PRNGKey(0), TINY_AE)
     batch = tiny_decoder_batch(jax.random.PRNGKey(1))
