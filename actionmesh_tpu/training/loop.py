@@ -407,3 +407,124 @@ def run_decoder_training(
         on_log=on_log,
         eval_fn=eval_fn,
     )
+
+
+def run_distillation(
+    model_cfg: DenoiserConfig,
+    teacher_params,
+    batches: Iterator[dict],
+    cfg: TrainLoopConfig,
+    *,
+    mode: str = "guidance",
+    guidance_scale: float = 7.5,
+    num_teacher_steps: int = 30,
+    teacher_guidance_scale: Optional[float] = None,
+    mesh=None,
+    student_params=None,
+    attn_impl: str = "auto_train",
+    on_log: Optional[Callable[[dict], None]] = None,
+    eval_batches: Optional[list[dict]] = None,
+) -> tuple[dict, list[dict]]:
+    """Distill a Stage-I teacher into a cheaper student (training/distill.py).
+
+    ``mode`` "guidance" regresses the teacher's CFG-guided velocity into a
+    single conditional forward; "progressive" halves the Euler step count
+    (``num_teacher_steps`` -> ``num_teacher_steps // 2``; chain rounds for
+    30 -> 15 -> 8 -> 4). The student initializes FROM the teacher (the
+    standard warm start) unless ``student_params`` is given. Loop/IO
+    contract matches run_flow_training; ``eval_batches`` reports the same
+    distillation loss on held-out data with deterministic draws.
+    """
+    from actionmesh_tpu.training.distill import (
+        guidance_distill_loss,
+        make_distill_step,
+        progressive_distill_loss,
+    )
+
+    shardings = None
+    if mesh is not None:
+        shardings = denoiser_param_shardings(teacher_params, mesh)
+        teacher_params = shard_params(teacher_params, shardings)
+    if student_params is None:
+        student_params = jax.tree.map(jnp.copy, teacher_params)
+    elif mesh is not None:
+        student_params = shard_params(
+            student_params, denoiser_param_shardings(student_params, mesh)
+        )
+    optimizer = make_optimizer(cfg)
+    state = init_train_state(
+        student_params, optimizer, shardings, ema_decay=cfg.ema_decay
+    )
+    ckpt = _latest_ckpt(Path(cfg.out_dir)) if cfg.resume else None
+    if ckpt is not None:
+        state = restore_train_state(ckpt, state)
+    step_fn = make_distill_step(
+        model_cfg,
+        optimizer,
+        teacher_params,
+        mode=mode,
+        guidance_scale=guidance_scale,
+        num_teacher_steps=num_teacher_steps,
+        teacher_guidance_scale=teacher_guidance_scale,
+        shift=cfg.shift,
+        attn_impl=attn_impl,
+        mesh=mesh,
+        compute_dtype=_compute_dtype(cfg),
+        ema_decay=_loop_ema_decay(cfg),
+    )
+
+    eval_fn = None
+    if eval_batches:
+        loss_kw = dict(
+            shift=cfg.shift,
+            attn_impl=attn_impl,
+            mesh=mesh,
+            remat=True,
+            compute_dtype=_compute_dtype(cfg),
+        )
+
+        @jax.jit
+        def eval_loss(eval_params, batch, key):
+            if mode == "guidance":
+                return guidance_distill_loss(
+                    eval_params, teacher_params, model_cfg, batch, key,
+                    guidance_scale=guidance_scale, **loss_kw,
+                )
+            return progressive_distill_loss(
+                eval_params, teacher_params, model_cfg, batch, key,
+                num_teacher_steps=num_teacher_steps,
+                teacher_guidance_scale=teacher_guidance_scale, **loss_kw,
+            )
+
+        sharding = batch_sharding(mesh) if mesh is not None else None
+        held_out = [
+            jax.tree.map(
+                lambda x: jax.device_put(x, sharding) if sharding else jnp.asarray(x),
+                b,
+            )
+            for b in eval_batches
+        ]
+        eval_key = jax.random.key(cfg.seed + 1)
+
+        def eval_fn(current_state: dict) -> float:
+            eval_params = (
+                current_state["ema_params"]
+                if "ema_params" in current_state
+                else current_state["params"]
+            )
+            losses = [
+                eval_loss(eval_params, b, jax.random.fold_in(eval_key, i))
+                for i, b in enumerate(held_out)
+            ]
+            return float(sum(float(l) for l in losses) / len(losses))
+
+    return _run_loop(
+        state,
+        step_fn,
+        batches,
+        cfg,
+        needs_key=True,
+        mesh=mesh,
+        on_log=on_log,
+        eval_fn=eval_fn,
+    )

@@ -131,6 +131,10 @@ def main():
     parser.add_argument("--low_ram", action="store_true",
                         help="Low-RAM preset (CFG batch chunking).")
     parser.add_argument(
+        "--distilled", action="store_true",
+        help="Distilled preset (8 guidance-free Stage-I steps); requires a "
+        "checkpoint from scripts/train.py --stage distill.")
+    parser.add_argument(
         "--dtype", type=str, choices=["bfloat16", "float16", "float32"],
         default="bfloat16",
     )
@@ -147,7 +151,15 @@ def main():
     )
     args = parser.parse_args()
 
-    if args.fast and args.low_ram:
+    if args.distilled:
+        config_name = "actionmesh_distilled"
+        logger.info(
+            "Distilled preset: 8 guidance-free Stage-I steps (expects a "
+            "distilled checkpoint)."
+        )
+        if args.fast or args.low_ram:
+            logger.warning("--distilled overrides --fast/--low_ram.")
+    elif args.fast and args.low_ram:
         config_name = "actionmesh_fast_lowram"
         logger.info("Fast + Low RAM mode enabled.")
     elif args.fast:

@@ -26,7 +26,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=16)
-    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--preset", default="actionmesh")
+    ap.add_argument("--steps", type=int, default=None, help="override stage_1_steps (default: preset value)")
     ap.add_argument(
         "--video", type=str,
         default="/root/reference/assets/examples/davis_camel",
@@ -39,19 +40,20 @@ def main() -> None:
     from actionmesh_tpu.pipeline import ActionMeshPipeline
 
     inp = load_frames(args.video, max_frames=args.frames)
-    pipe = ActionMeshPipeline(config_name="actionmesh", weights_dir=None)
+    pipe = ActionMeshPipeline(config_name=args.preset, weights_dir=None)
 
     results = {}
     for label in ("cold", "warm"):
         t0 = time.perf_counter()
-        meshes = pipe(inp, seed=42, stage_1_steps=args.steps)
+        kw = {} if args.steps is None else {"stage_1_steps": args.steps}
+        meshes = pipe(inp, seed=42, **kw)
         results[label] = round(time.perf_counter() - t0, 1)
         assert len(meshes) == min(args.frames, 16) or len(meshes) > 0
         V = np.stack([m.vertices for m in meshes])
         assert np.isfinite(V).all()
 
     print(json.dumps({
-        "metric": "e2e_default_preset_seconds",
+        "metric": f"e2e_{args.preset}_seconds",
         "frames": args.frames,
         "stage_1_steps": args.steps,
         "stage0": "real TripoSG (random weights, dev regularizer)",

@@ -51,7 +51,36 @@ def parse_mesh(spec: str):
 
 def build_args() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    p.add_argument("--stage", choices=("flow", "decoder"), default="flow")
+    p.add_argument(
+        "--stage", choices=("flow", "decoder", "distill"), default="flow"
+    )
+    p.add_argument(
+        "--distill-mode",
+        choices=("guidance", "progressive"),
+        default="guidance",
+        help="distill stage: collapse the CFG pair (guidance) or halve the "
+        "Euler step count (progressive); chain progressive rounds for "
+        "30 -> 15 -> 8 -> 4 steps",
+    )
+    p.add_argument(
+        "--teacher",
+        help="distill stage: directory containing denoiser.npz "
+        "(export_for_inference layout); omit with --synthetic to distill "
+        "a random teacher (smoke tests)",
+    )
+    p.add_argument(
+        "--guidance-scale",
+        type=float,
+        default=7.5,
+        help="distill stage (guidance mode): teacher CFG scale to bake in",
+    )
+    p.add_argument(
+        "--teacher-steps",
+        type=int,
+        default=30,
+        help="distill stage (progressive mode): teacher schedule length "
+        "(student learns the half-length schedule)",
+    )
     p.add_argument("--data-dir", help="directory of clip .npz files")
     p.add_argument(
         "--tracks-dir",
@@ -247,7 +276,7 @@ def main(argv=None) -> int:
             flush=True,
         )
 
-    if args.stage == "flow":
+    if args.stage in ("flow", "distill"):
         from actionmesh_tpu.training.data import (
             ClipWindowDataset,
             flow_batches,
@@ -289,14 +318,56 @@ def main(argv=None) -> int:
             + (f", eval on {len(eval_set)} held-out batches" if eval_set else "")
         )
         batches = flow_batches(dataset, args.batch, seed=args.seed)
-        state, history = run_flow_training(
-            model_cfg,
-            batches,
-            loop_cfg,
-            mesh=mesh,
-            on_log=echo,
-            eval_batches=eval_set,
-        )
+        if args.stage == "distill":
+            import jax
+
+            from actionmesh_tpu.training.loop import run_distillation
+
+            if args.teacher:
+                from actionmesh_tpu.utils.weights import load_params
+
+                teacher = load_params(Path(args.teacher) / "denoiser.npz")
+            elif args.synthetic:
+                from actionmesh_tpu.models.denoiser import init_denoiser
+
+                teacher = init_denoiser(
+                    jax.random.key(args.seed + 7), model_cfg
+                )
+            else:
+                print(
+                    "error: distill stage needs --teacher (or --synthetic)",
+                    file=sys.stderr,
+                )
+                return 2
+            print(
+                f"distillation ({args.distill_mode}): "
+                + (
+                    f"CFG scale {args.guidance_scale} -> single forward"
+                    if args.distill_mode == "guidance"
+                    else f"{args.teacher_steps} -> {args.teacher_steps // 2} steps"
+                )
+            )
+            state, history = run_distillation(
+                model_cfg,
+                teacher,
+                batches,
+                loop_cfg,
+                mode=args.distill_mode,
+                guidance_scale=args.guidance_scale,
+                num_teacher_steps=args.teacher_steps,
+                mesh=mesh,
+                on_log=echo,
+                eval_batches=eval_set,
+            )
+        else:
+            state, history = run_flow_training(
+                model_cfg,
+                batches,
+                loop_cfg,
+                mesh=mesh,
+                on_log=echo,
+                eval_batches=eval_set,
+            )
     else:
         model_cfg = decoder_model_config(args.size)
         eval_set = None
@@ -359,7 +430,9 @@ def main(argv=None) -> int:
         from actionmesh_tpu.training.checkpoint import export_for_inference
 
         out = export_for_inference(
-            state, args.export_inference, stage=args.stage
+            state,
+            args.export_inference,
+            stage="flow" if args.stage == "distill" else args.stage,
         )
         print(f"exported inference checkpoint: {out}")
 

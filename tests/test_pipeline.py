@@ -181,3 +181,40 @@ def test_pipeline_call_is_idempotent_on_input(tiny_pipeline):
     assert len(m1) == len(m2)
     for a, b in zip(m1, m2):
         np.testing.assert_array_equal(a.vertices, b.vertices)
+
+
+@pytest.mark.slow
+def test_distilled_preset_runs_guidance_free():
+    """The actionmesh_distilled preset (single [[1,1]] guidance branch, 8
+    Euler steps — the inference contract of training/distill.py students)
+    drives the full pipeline; output shape/topology invariants hold."""
+    import jax.numpy as jnp
+
+    pipe = ActionMeshPipeline(
+        config_name="actionmesh_distilled",
+        weights_dir=None,
+        config_updates=dict(TINY_UPDATES, **{
+            "scheduler.num_inference_steps": 2,
+        }),
+        dtype=jnp.float32,
+    )
+    assert list(pipe.cfg.cf_guidance.guidance_at_inference) == [[1, 1]]
+    assert list(pipe.cfg.cf_guidance.guidance_scales) == []
+    pipe.image_encoder = ImageEncoder(
+        weights_dir=None, dtype=jnp.float32, config=TINY_DINO
+    )
+    from actionmesh_tpu.models.stage0 import StubImageTo3D
+
+    pipe.image_to_3d = StubImageTo3D(latent_shape=(16, 8))
+    frames = make_frames(16)
+    meshes = pipe(
+        ActionMeshInput(
+            frames=frames, timesteps=np.arange(16, dtype=np.float32)
+        ),
+        seed=44,
+    )
+    assert len(meshes) == 16
+    topo = meshes[0].faces
+    for m in meshes:
+        assert np.array_equal(m.faces, topo)
+        assert np.isfinite(m.vertices).all()
