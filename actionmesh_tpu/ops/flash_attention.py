@@ -253,11 +253,15 @@ def flash_attention_pipelined(
         # KV too short to pipeline; use the one-block kernel, sized so the
         # whole KV fits one block and Q blocks are as large as VMEM allows —
         # measured ~9.98 ms vs 11.92 ms at the Stage-I cross-attention shape
-        # (Sq 2049, Sk 257) for the default 512/1024 split.
+        # (Sq 2049, Sk 257) for the default 512/1024 split. When the whole
+        # KV fits a single <=2176 block, use exactly that: 1024-blocking
+        # Sk=2049 pads it to 3072 (+50% dead K work — the TripoSG DiT
+        # self-attention shape; 2.59 -> 2.40 ms measured, BENCH_NOTES r3i).
+        bk_one = _round_up(Sk, 128)
         return flash_attention(
             q, k, v, scale=scale, kv_mask=kv_mask,
             block_q=min(2176, _round_up(Sq, 128)),
-            block_k=min(1024, _round_up(Sk, 128)),
+            block_k=bk_one if bk_one <= 2176 else min(1024, bk_one),
             interpret=interpret,
             return_stats=return_stats,
         )

@@ -116,10 +116,20 @@ def abstract_sharded_params(init_thunk, shardings_fn, mesh):
     )
 
 
-def audit_stage1(mesh, n_steps: int = 5, compile: bool = True) -> dict:
+def audit_stage1(
+    mesh,
+    n_steps: int = 5,
+    compile: bool = True,
+    guidance_branches=((0, 1), (1, 1)),
+    guidance_scales=(7.5,),
+) -> dict:
     """Lower (+ GSPMD-compile) the production Stage-I denoise segment:
     B=1, T=16, N=2048, width 2048, seq 32784, `n_steps`-step scan — the
-    exact per-launch program the pipeline runs (steps_per_launch=5)."""
+    exact per-launch program the pipeline runs (steps_per_launch=5).
+
+    ``guidance_branches``/``guidance_scales`` default to the reference CFG
+    pair; pass ``((1, 1),), ()`` for the distilled single-branch program
+    (configs/actionmesh_distilled.yaml)."""
     import jax
     import jax.numpy as jnp
 
@@ -136,7 +146,9 @@ def audit_stage1(mesh, n_steps: int = 5, compile: bool = True) -> dict:
         lambda: init_denoiser(jax.random.PRNGKey(0), dcfg, dtype=jnp.bfloat16),
         denoiser_param_shardings, mesh,
     )
-    guidance = make_guidance([[0, 1], [1, 1]], [7.5])
+    guidance = make_guidance(
+        [list(b) for b in guidance_branches], list(guidance_scales)
+    )
     sds = jax.ShapeDtypeStruct
     t0 = time.time()
     lowered = denoise_window.lower(
@@ -153,7 +165,8 @@ def audit_stage1(mesh, n_steps: int = 5, compile: bool = True) -> dict:
         "name": "stage1_denoise_window",
         "shapes": {"B": B, "T": T, "N": N, "width": dcfg.width,
                    "seq": T * (N + 1), "layers": dcfg.num_layers,
-                   "steps_per_launch": n_steps},
+                   "steps_per_launch": n_steps,
+                   "g_batch": len(guidance_branches) * B},
         "lower_s": round(time.time() - t0, 1),
     }
     if compile:
@@ -360,8 +373,8 @@ def check_megatron_invariants(stage1_report: dict, tp: int) -> list[str]:
     if "collectives" not in stage1_report:
         return ["stage1 was not compiled — no collectives to audit"]
     sh = stage1_report["shapes"]
-    # one row-parallel all-reduce output: (g*B=2, seq, width) bf16 per dp shard
-    full_act_bytes = 2 * sh["seq"] * sh["width"] * 2
+    # one row-parallel all-reduce output: (g*B, seq, width) bf16 per dp shard
+    full_act_bytes = sh.get("g_batch", 2) * sh["seq"] * sh["width"] * 2
     # NOTE: the scan body prints ONCE in HLO regardless of trip count, so
     # parsed collective totals are PER-STEP (plus once-per-launch prologue).
     ar = [c for c in stage1_report["collectives"]
@@ -399,7 +412,7 @@ def check_sp_invariants(stage1_report: dict, sp: int) -> list[str]:
     if "collectives" not in stage1_report:
         return ["stage1 (sp) was not compiled — no collectives to audit"]
     sh = stage1_report["shapes"]
-    full_act_bytes = 2 * sh["seq"] * sh["width"] * 2
+    full_act_bytes = sh.get("g_batch", 2) * sh["seq"] * sh["width"] * 2
     colls = stage1_report["collectives"]
     perms = [c for c in colls if c["kind"] == "collective-permute"]
     min_perms = sh["layers"] * (sp - 1) * 2  # k and v per ring round

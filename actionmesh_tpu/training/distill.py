@@ -308,9 +308,9 @@ def make_distill_step(
     """
     if mode == "guidance":
 
-        def loss_fn(params, batch, key):
+        def loss_fn(params, teacher, batch, key):
             return guidance_distill_loss(
-                params, teacher_params, cfg, batch, key,
+                params, teacher, cfg, batch, key,
                 guidance_scale=guidance_scale, shift=shift,
                 attn_impl=attn_impl, teacher_attn_impl=teacher_attn_impl,
                 mesh=mesh, remat=remat, compute_dtype=compute_dtype,
@@ -318,9 +318,9 @@ def make_distill_step(
 
     elif mode == "progressive":
 
-        def loss_fn(params, batch, key):
+        def loss_fn(params, teacher, batch, key):
             return progressive_distill_loss(
-                params, teacher_params, cfg, batch, key,
+                params, teacher, cfg, batch, key,
                 num_teacher_steps=num_teacher_steps,
                 teacher_guidance_scale=teacher_guidance_scale,
                 shift=shift, attn_impl=attn_impl,
@@ -331,10 +331,13 @@ def make_distill_step(
     else:
         raise ValueError(f"unknown distillation mode: {mode!r}")
 
+    # The teacher tree is a runtime ARGUMENT of the jitted step, never a
+    # closure: closed-over multi-GB pytrees become XLA constants and the
+    # production-shape compile hangs (see the verify-skill gotcha).
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def distill_step(state, batch, key):
+    def _distill_step(state, teacher, batch, key):
         loss, grads = jax.value_and_grad(loss_fn)(
-            state["params"], batch, key
+            state["params"], teacher, batch, key
         )
         updates, opt_state = optimizer.update(
             grads, state["opt_state"], state["params"]
@@ -353,5 +356,8 @@ def make_distill_step(
                 new_params,
             )
         return new_state, loss
+
+    def distill_step(state, batch, key):
+        return _distill_step(state, teacher_params, batch, key)
 
     return distill_step

@@ -483,18 +483,23 @@ def run_distillation(
             compute_dtype=_compute_dtype(cfg),
         )
 
+        # teacher enters as a jit ARGUMENT (closed-over param trees would
+        # constant-fold into the compiled program at production scale)
         @jax.jit
-        def eval_loss(eval_params, batch, key):
+        def _eval_loss(eval_params, teacher, batch, key):
             if mode == "guidance":
                 return guidance_distill_loss(
-                    eval_params, teacher_params, model_cfg, batch, key,
+                    eval_params, teacher, model_cfg, batch, key,
                     guidance_scale=guidance_scale, **loss_kw,
                 )
             return progressive_distill_loss(
-                eval_params, teacher_params, model_cfg, batch, key,
+                eval_params, teacher, model_cfg, batch, key,
                 num_teacher_steps=num_teacher_steps,
                 teacher_guidance_scale=teacher_guidance_scale, **loss_kw,
             )
+
+        def eval_loss(eval_params, batch, key):
+            return _eval_loss(eval_params, teacher_params, batch, key)
 
         sharding = batch_sharding(mesh) if mesh is not None else None
         held_out = [

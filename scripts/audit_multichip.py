@@ -83,6 +83,18 @@ def main() -> None:
           f"{s1_sp.get('compile_s')}s, summary "
           f"{json.dumps(s1_sp.get('summary', {}))}")
 
+    # Distilled single-branch program (configs/actionmesh_distilled.yaml):
+    # no CFG pair, so the 8 chips all go to tp — audit the tp8 layout.
+    tp8_mesh = make_mesh(n_devices=n_devices, dp=1)
+    s1_d = audit_stage1(
+        tp8_mesh, guidance_branches=((1, 1),), guidance_scales=()
+    )
+    s1_d["name"] = "stage1_denoise_window_distilled_tp8"
+    s1_d["mesh"] = {"dp": 1, "tp": 8}
+    print(f"Stage I distilled (tp8): lowered {s1_d['lower_s']}s, compiled "
+          f"{s1_d.get('compile_s')}s, summary "
+          f"{json.dumps(s1_d.get('summary', {}))}")
+
     # Training step (the framework's beyond-reference capability) at
     # production shape: fwd+bwd+adamw partitioning + memory certification.
     tr = audit_train_step(mesh)
@@ -92,13 +104,15 @@ def main() -> None:
 
     fails = check_megatron_invariants(s1, tp)
     fails += check_sp_invariants(s1_sp, sp=2)
+    fails += check_megatron_invariants(s1_d, 8)
     fails += check_train_invariants(tr, tp)
     report = {
         "mesh": {"dp": int(dp), "tp": int(tp)},
-        "programs": [s1, s2, s1_sp, tr],
+        "programs": [s1, s2, s1_sp, s1_d, tr],
         "invariant_failures": fails,
         "ici_estimate": ici_estimate(s1, tp),
         "ici_estimate_sp": ici_estimate_sp(s1_sp, tp=2, sp=2),
+        "ici_estimate_distilled_tp8": ici_estimate(s1_d, 8),
     }
     out_path = os.path.join(REPO, "MULTICHIP_AUDIT.json")
     with open(out_path, "w") as f:
