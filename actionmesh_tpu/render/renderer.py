@@ -213,8 +213,17 @@ class Renderer:
 
     # -- public API ---------------------------------------------------------
 
-    def render(self, mesh: Mesh, camera: dict) -> np.ndarray:
-        """Render one mesh with one camera -> (H, W, 3) uint8."""
+    def render(
+        self, mesh: Mesh, camera: dict, return_alpha: bool = False
+    ) -> np.ndarray:
+        """Render one mesh with one camera -> (H, W, 3) uint8.
+
+        With ``return_alpha=True`` returns (H, W, 4) uint8 where the alpha
+        channel is the supersampled pixel-coverage fraction — valid matting
+        input for the pipeline's alpha-gated preprocessing
+        (preprocessing/image.is_valid_alpha), used to synthesize video
+        frames for the closed-loop training experiments.
+        """
         size = self.image_size * self.supersample
         R = np.asarray(camera["R"], np.float64)
         t = np.asarray(camera["t"], np.float64)
@@ -228,6 +237,7 @@ class Renderer:
         vn = vertex_normals(mesh.vertices, mesh.faces)
 
         img = np.tile(self.background, (size * size, 1)).astype(np.float32)
+        alpha = np.zeros((size * size,), np.float32)
         samples = self._visibility(
             px.astype(np.float32), py.astype(np.float32), z, mesh.faces, size
         )
@@ -275,11 +285,18 @@ class Renderer:
                     1.0,
                 )
             img[flat_idx] = color
+            alpha[flat_idx] = 1.0
 
         img = img.reshape(size, size, 3)
+        alpha = alpha.reshape(size, size, 1)
         if self.supersample > 1:
             s = self.supersample
             img = img.reshape(
                 self.image_size, s, self.image_size, s, 3
             ).mean(axis=(1, 3))
+            alpha = alpha.reshape(
+                self.image_size, s, self.image_size, s, 1
+            ).mean(axis=(1, 3))
+        if return_alpha:
+            img = np.concatenate([img, alpha], axis=-1)
         return np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8)

@@ -174,16 +174,21 @@ def flow_batches(
     batch_size: int,
     *,
     seed: int = 0,
-    n_cond_frames: int = 1,
+    n_cond_frames: "int | tuple[int, int]" = 1,
     epochs: Optional[int] = None,
 ) -> Iterator[dict]:
     """Yield shuffled numpy batches forever (or for ``epochs`` passes).
 
     Batch layout matches training/flow_train.flow_matching_loss: latents
-    (B,T,N,C), context (B,T,S,D), framestep (B,T), mask (B,T) with the
-    first ``n_cond_frames`` frames of every window = 1 (clean conditioning,
-    excluded from the loss). Incomplete trailing batches are dropped so the
-    jitted step sees one static batch shape.
+    (B,T,N,C), context (B,T,S,D), framestep (B,T), mask (B,T) with a
+    prefix of ``n_cond_frames`` frames of every window = 1 (clean
+    conditioning, excluded from the loss). ``n_cond_frames`` may be an
+    ``(lo, hi)`` inclusive range: each row then draws its prefix length
+    uniformly — the inference AR windows condition on anywhere from 1
+    (interior windows) to T-1 (the clipped tail window) banked frames
+    (ops/chunking.chunk_from), so training must cover that mask family.
+    Incomplete trailing batches are dropped so the jitted step sees one
+    static batch shape.
     """
     if batch_size < 1:
         raise ValueError(f"batch_size={batch_size} must be >= 1")
@@ -193,8 +198,22 @@ def flow_batches(
         )
     rng = np.random.default_rng(seed)
     T = dataset.window
-    mask_row = np.zeros((T,), np.float32)
-    mask_row[:n_cond_frames] = 1.0
+    if isinstance(n_cond_frames, tuple):
+        lo_c, hi_c = n_cond_frames
+        if not (0 <= lo_c <= hi_c < T):
+            raise ValueError(
+                f"n_cond_frames range {n_cond_frames} must satisfy "
+                f"0 <= lo <= hi < window={T}"
+            )
+    else:
+        lo_c = hi_c = int(n_cond_frames)
+
+    def make_mask() -> np.ndarray:
+        counts = rng.integers(lo_c, hi_c + 1, size=(batch_size,))
+        return (
+            np.arange(T)[None, :] < counts[:, None]
+        ).astype(np.float32)
+
     epoch = 0
     while epochs is None or epoch < epochs:
         order = rng.permutation(len(dataset))
@@ -206,7 +225,7 @@ def flow_batches(
                 "framestep": np.stack(
                     [it["framestep"] for it in items]
                 ).astype(np.float32),
-                "mask": np.tile(mask_row[None], (batch_size, 1)),
+                "mask": make_mask(),
             }
         epoch += 1
 

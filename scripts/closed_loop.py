@@ -1,0 +1,325 @@
+"""Closed-loop quality experiment driver: build -> train -> (distill) -> eval.
+
+Produces the repo's first ActionBench numbers from the ACTUAL generative
+pipeline (see actionmesh_tpu/training/closed_loop.py). Phases:
+
+  build    generate scenes, renders, GT, training clips/tracks
+  train    train Stage-I denoiser + Stage-II decoder; export native ckpts
+  distill  guidance-distill then progressive-halve the trained teacher
+  eval     run the full {video+3D} pipeline per variant on held-out scenes
+           and score with the ActionBench harness; writes CLOSED_LOOP.json
+
+Usage:
+  python scripts/closed_loop.py all --root /tmp/closed_loop
+  python scripts/closed_loop.py eval --root /tmp/closed_loop --variants random,trained
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+logger = logging.getLogger("closed_loop")
+
+
+def phase_build(root: Path, args) -> None:
+    from actionmesh_tpu.training.closed_loop import CascadeSpec, build_dataset
+
+    spec = CascadeSpec()
+    t0 = time.time()
+    uids = build_dataset(
+        root, spec, n_train=args.n_train, n_eval=args.n_eval, seed=args.seed
+    )
+    logger.info(
+        "build: %d train / %d eval scenes in %.0fs",
+        len(uids["train"]), len(uids["eval"]), time.time() - t0,
+    )
+
+
+def _eval_batches(make_iter, n: int) -> list[dict]:
+    """Materialize up to n fixed held-out batches."""
+    out = []
+    it = make_iter()
+    for _ in range(n):
+        try:
+            out.append(next(it))
+        except StopIteration:
+            break
+    return out
+
+
+def phase_train(root: Path, args) -> None:
+    import jax
+
+    from actionmesh_tpu.training.checkpoint import export_for_inference
+    from actionmesh_tpu.training.closed_loop import CascadeSpec
+    from actionmesh_tpu.training.data import (
+        ClipWindowDataset,
+        DecoderTrackDataset,
+        decoder_batches,
+        flow_batches,
+    )
+    from actionmesh_tpu.training.loop import (
+        TrainLoopConfig,
+        run_decoder_training,
+        run_flow_training,
+    )
+
+    spec = CascadeSpec.load(root / "spec.json")
+    ckpt_dir = root / "ckpt"
+
+    # -- Stage I: rectified flow -----------------------------------------
+    ds = ClipWindowDataset(
+        root / "clips_train", window=spec.window, stride=spec.window_stride
+    )
+    eval_ds = ClipWindowDataset(
+        root / "clips_eval", window=spec.window, stride=spec.window_stride
+    )
+    # train over the full AR conditioning-mask family (1..T-1 prefix)
+    batches = flow_batches(
+        ds, args.batch, seed=args.seed, n_cond_frames=(1, spec.window - 1)
+    )
+    eval_b = _eval_batches(
+        lambda: flow_batches(
+            eval_ds, args.batch, seed=123, n_cond_frames=1, epochs=1
+        ),
+        args.eval_batches,
+    )
+    cfg = TrainLoopConfig(
+        total_steps=args.flow_steps,
+        peak_lr=args.lr,
+        warmup_steps=min(200, args.flow_steps // 10),
+        ema_decay=0.999,
+        p_uncond=0.1,
+        eval_every=max(1, args.flow_steps // 20),
+        log_every=50,
+        ckpt_every=max(100, args.flow_steps // 4),
+        out_dir=str(root / "train_flow"),
+        seed=args.seed,
+    )
+    t0 = time.time()
+    state, logs = run_flow_training(
+        spec.denoiser_config(), batches, cfg, eval_batches=eval_b
+    )
+    export_for_inference(state, ckpt_dir, stage="flow", compute_dtype=None)
+    evals = [l for l in logs if "eval_loss" in l]
+    logger.info(
+        "flow: %d steps in %.0fs; eval loss %s -> %s",
+        args.flow_steps, time.time() - t0,
+        f"{evals[0]['eval_loss']:.4f}" if evals else "n/a",
+        f"{evals[-1]['eval_loss']:.4f}" if evals else "n/a",
+    )
+    (root / "train_flow_log.json").write_text(json.dumps(logs))
+
+    # -- Stage II: decoder regression -------------------------------------
+    dds = DecoderTrackDataset(
+        root / "clips_train", root / "tracks",
+        window=spec.window, stride=spec.window_stride,
+    )
+    deval = DecoderTrackDataset(
+        root / "clips_eval", root / "tracks",
+        window=spec.window, stride=spec.window_stride,
+    )
+    dbatches = decoder_batches(
+        dds, args.batch, vertex_bucket=spec.track_points, seed=args.seed
+    )
+    deval_b = _eval_batches(
+        lambda: decoder_batches(
+            deval, args.batch, vertex_bucket=spec.track_points,
+            seed=123, epochs=1,
+        ),
+        args.eval_batches,
+    )
+    dcfg = TrainLoopConfig(
+        total_steps=args.decoder_steps,
+        peak_lr=args.lr,
+        warmup_steps=min(200, args.decoder_steps // 10),
+        ema_decay=None,
+        eval_every=max(1, args.decoder_steps // 20),
+        log_every=50,
+        ckpt_every=max(100, args.decoder_steps // 4),
+        out_dir=str(root / "train_decoder"),
+        seed=args.seed,
+    )
+    t0 = time.time()
+    dstate, dlogs = run_decoder_training(
+        spec.autoencoder_config(), dbatches, dcfg, eval_batches=deval_b
+    )
+    export_for_inference(dstate, ckpt_dir, stage="decoder", compute_dtype=None)
+    devals = [l for l in dlogs if "eval_loss" in l]
+    logger.info(
+        "decoder: %d steps in %.0fs; eval loss %s -> %s",
+        args.decoder_steps, time.time() - t0,
+        f"{devals[0]['eval_loss']:.5f}" if devals else "n/a",
+        f"{devals[-1]['eval_loss']:.5f}" if devals else "n/a",
+    )
+    (root / "train_decoder_log.json").write_text(json.dumps(dlogs))
+    del jax  # imported for backend selection side effect only
+
+
+def phase_distill(root: Path, args) -> None:
+    """Teacher (trained flow ckpt) -> guidance student -> progressive 16->8."""
+    from actionmesh_tpu.training.checkpoint import export_for_inference
+    from actionmesh_tpu.training.closed_loop import CascadeSpec
+    from actionmesh_tpu.training.data import ClipWindowDataset, flow_batches
+    from actionmesh_tpu.training.loop import TrainLoopConfig, run_distillation
+    from actionmesh_tpu.utils.weights import load_params
+
+    spec = CascadeSpec.load(root / "spec.json")
+    teacher = load_params(root / "ckpt" / "denoiser.npz")
+    ds = ClipWindowDataset(
+        root / "clips_train", window=spec.window, stride=spec.window_stride
+    )
+
+    def make_batches(seed):
+        return flow_batches(
+            ds, args.batch, seed=seed, n_cond_frames=(1, spec.window - 1)
+        )
+
+    def loop_cfg(out_name, steps):
+        return TrainLoopConfig(
+            total_steps=steps,
+            peak_lr=args.lr / 2,
+            warmup_steps=min(100, steps // 10),
+            ema_decay=0.999,
+            log_every=50,
+            ckpt_every=max(100, steps // 2),
+            out_dir=str(root / out_name),
+            seed=args.seed,
+        )
+
+    # Round 1: guidance distillation (CFG pair -> single conditional fwd)
+    t0 = time.time()
+    state, _ = run_distillation(
+        spec.denoiser_config(),
+        teacher,
+        make_batches(args.seed),
+        loop_cfg("distill_guidance", args.distill_steps),
+        mode="guidance",
+        guidance_scale=spec.guidance_scale,
+    )
+    student = state.get("ema_params", state["params"])
+    logger.info("guidance distill: %.0fs", time.time() - t0)
+
+    # Round 2: progressive halving (16 -> 8 Euler steps)
+    t0 = time.time()
+    state, _ = run_distillation(
+        spec.denoiser_config(),
+        student,
+        make_batches(args.seed + 1),
+        loop_cfg("distill_progressive", args.distill_steps),
+        mode="progressive",
+        num_teacher_steps=spec.num_inference_steps,
+        teacher_guidance_scale=None,  # teacher is already guidance-free
+    )
+    logger.info("progressive distill: %.0fs", time.time() - t0)
+    export_for_inference(
+        state, root / "ckpt_distilled", stage="flow", compute_dtype=None
+    )
+    # distilled preset shares the trained decoder
+    import shutil
+
+    shutil.copy(
+        root / "ckpt" / "autoencoder.npz",
+        root / "ckpt_distilled" / "autoencoder.npz",
+    )
+
+
+VARIANTS = {
+    # name -> (ckpt subdir or None, extra config updates)
+    "random": (None, {}),
+    "trained": ("ckpt", {}),
+    "distilled": (
+        "ckpt_distilled",
+        {
+            "scheduler.num_inference_steps": 8,
+            "cf_guidance.guidance_at_inference": [[1, 1]],
+            "cf_guidance.guidance_scales": [],
+        },
+    ),
+}
+
+
+def phase_eval(root: Path, args) -> dict:
+    from actionmesh_tpu.training.closed_loop import (
+        CascadeSpec,
+        evaluate_predictions,
+        make_pipeline,
+        run_inference,
+    )
+
+    spec = CascadeSpec.load(root / "spec.json")
+    uids = json.loads((root / "split.json").read_text())["eval"]
+    report = {}
+    for name in args.variants.split(","):
+        ckpt_sub, extra = VARIANTS[name]
+        ckpt = root / ckpt_sub if ckpt_sub else None
+        if ckpt is not None and not ckpt.exists():
+            logger.warning("variant %s: no checkpoint at %s — skipped", name, ckpt)
+            continue
+        t0 = time.time()
+        pipe = make_pipeline(spec, ckpt_dir=ckpt, extra_updates=extra)
+        pred_dir = root / f"pred_{name}"
+        run_inference(root, pipe, uids, pred_dir, spec, seed=args.seed + 44)
+        t_infer = time.time() - t0
+        t0 = time.time()
+        metrics = evaluate_predictions(
+            root, pred_dir, root / f"results_{name}.csv",
+            icp_iters=args.icp_iters,
+        )
+        metrics["infer_seconds"] = round(t_infer, 1)
+        metrics["eval_seconds"] = round(time.time() - t0, 1)
+        report[name] = metrics
+        logger.info("variant %s: %s", name, metrics)
+
+    out = Path(__file__).resolve().parent.parent / args.report_name
+    payload = {
+        "spec": json.loads((root / "spec.json").read_text()),
+        "n_eval_scenes": len(uids),
+        "variants": report,
+    }
+    out.write_text(json.dumps(payload, indent=2))
+    logger.info("wrote %s", out)
+    return report
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("phase", choices=["build", "train", "distill", "eval", "all"])
+    ap.add_argument("--root", type=str, default="/tmp/closed_loop")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--n-train", type=int, default=48)
+    ap.add_argument("--n-eval", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--flow-steps", type=int, default=4000)
+    ap.add_argument("--decoder-steps", type=int, default=4000)
+    ap.add_argument("--distill-steps", type=int, default=1500)
+    ap.add_argument("--eval-batches", type=int, default=4)
+    ap.add_argument("--icp-iters", type=int, default=200)
+    ap.add_argument("--variants", type=str, default="random,trained")
+    ap.add_argument("--report-name", type=str, default="CLOSED_LOOP.json")
+    args = ap.parse_args()
+
+    root = Path(args.root)
+    if args.phase in ("build", "all"):
+        phase_build(root, args)
+    if args.phase in ("train", "all"):
+        phase_train(root, args)
+    if args.phase == "distill":
+        phase_distill(root, args)
+    if args.phase in ("eval", "all"):
+        phase_eval(root, args)
+
+
+if __name__ == "__main__":
+    main()
