@@ -27,7 +27,7 @@ logger = logging.getLogger(__name__)
 
 def _compute_per_frame_icp(
     gt_pc: np.ndarray, pred_pc: np.ndarray, n_iter: int = 200,
-    nn_every: int = 1,
+    nn_every: int = 1, lr: float = 0.01,
 ) -> Transform:
     """All T per-frame alignments fused into one batched device loop.
 
@@ -43,7 +43,7 @@ def _compute_per_frame_icp(
     eval default (BENCH_NOTES r3e, full 128-sample A/B).
     """
     return gradient_icp_multi(
-        pc_pred=pred_pc, pc_gt=gt_pc, lr=0.01, n_iter=n_iter,
+        pc_pred=pred_pc, pc_gt=gt_pc, lr=lr, n_iter=n_iter,
         nn_every=nn_every,
     )
 
@@ -58,6 +58,7 @@ def compute_chamfer_3d_4d(
     seed: int = 44,
     icp_iters: int = 200,
     icp_nn_every: int = 1,
+    icp_lr: float = 0.01,
 ) -> tuple[float, float, float]:
     """Returns (cd_3d, cd_4d, cd_motion); cd_motion is 0.0 unless is_4D."""
     del device
@@ -71,7 +72,8 @@ def compute_chamfer_3d_4d(
     gt_pc_icp = sample_point_cloud(gt_pc, n_pts=n_pts_icp, seed=seed)
 
     icp_transforms_3d = _compute_per_frame_icp(
-        gt_pc_icp, pred_pc_icp, n_iter=icp_iters, nn_every=icp_nn_every
+        gt_pc_icp, pred_pc_icp, n_iter=icp_iters, nn_every=icp_nn_every,
+        lr=icp_lr,
     )
     # The reference's "unified" ICP (benchmark.py:41-44) optimizes exactly
     # frame 0's (gt, pred) pair — deterministically identical to the

@@ -262,3 +262,150 @@ class TestGridFastPath:
         assert f_ref.shape == f_fast.shape
         np.testing.assert_array_equal(f_ref, f_fast)
         np.testing.assert_allclose(v_ref, v_fast, atol=1e-5)
+
+
+@pytest.mark.slow
+class TestGeometryOracle:
+    """Known-SDF roundtrip through the FULL VAE + extraction stack.
+
+    The single torch-transcription parity test constrains the VAE only
+    against the builder's own transcription; this oracle pins the stack
+    against GEOMETRY instead: a tiny VAE is overfit to reproduce analytic
+    SDFs (sphere and box) from their sampled surfaces, then the REAL
+    ``decode_latents`` extraction path (hierarchical grid decode + native
+    marching cubes, ref:external/triposg.py:153-205) must recover each
+    shape — correct chamfer distance, volume, and latent-dependence (the
+    sphere latent must not decode to the box). Any axis remap, grid
+    scaling, iso-level, or kv-layout bug breaks these assertions even
+    though SDF training itself would still converge.
+    """
+
+    R_SPHERE = 0.55
+    BOX_HALF = np.array([0.55, 0.4, 0.45])
+
+    @staticmethod
+    def _sphere_sdf(p, r=0.55):
+        return np.linalg.norm(p, axis=-1) - r
+
+    @classmethod
+    def _box_sdf(cls, p):
+        q = np.abs(p) - cls.BOX_HALF
+        outside = np.linalg.norm(np.maximum(q, 0.0), axis=-1)
+        inside = np.minimum(np.max(q, axis=-1), 0.0)
+        return outside + inside
+
+    @classmethod
+    def _surfaces(cls, rng, n):
+        """(2, n, 6) sampled surfaces: sphere and box, points + normals."""
+        d = rng.standard_normal((n, 3))
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        sphere = np.concatenate([cls.R_SPHERE * d, d], axis=1)
+
+        # box: pick a face by area, uniform point on it
+        h = cls.BOX_HALF
+        areas = np.array([h[1] * h[2], h[0] * h[2], h[0] * h[1]])
+        areas = areas / areas.sum()
+        ax = rng.choice(3, size=n, p=areas)
+        sign = rng.choice([-1.0, 1.0], size=n)
+        pts = rng.uniform(-1, 1, (n, 3)) * h
+        nrm = np.zeros((n, 3))
+        for i in range(n):
+            pts[i, ax[i]] = sign[i] * h[ax[i]]
+            nrm[i, ax[i]] = sign[i]
+        box = np.concatenate([pts, nrm], axis=1)
+        return np.stack([sphere, box]).astype(np.float32)
+
+    def _train_vae(self, steps=500):
+        import optax
+
+        cfg = TINY_VAE
+        rng = np.random.default_rng(0)
+        surf = jnp.asarray(self._surfaces(rng, 512))  # (2, 512, 6)
+
+        # probes: uniform + near-surface band (what marching cubes reads)
+        uni = rng.uniform(-1, 1, (2048, 3)).astype(np.float32)
+        d = rng.standard_normal((2048, 3))
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        band_s = (self.R_SPHERE + rng.uniform(-0.12, 0.12, (2048, 1))) * d
+        band_b = surf[1, rng.integers(0, 512, 2048), :3] + rng.uniform(
+            -0.1, 0.1, (2048, 3)
+        ).astype(np.float32)
+        probes = np.stack([
+            np.concatenate([uni, band_s.astype(np.float32)]),
+            np.concatenate([uni, band_b]),
+        ])  # (2, 4096, 3)
+        gt = np.stack([
+            self._sphere_sdf(probes[0]),
+            self._box_sdf(probes[1]),
+        ]).astype(np.float32)
+        probes, gt = jnp.asarray(probes), jnp.asarray(gt)
+
+        params = init_triposg_vae(jax.random.PRNGKey(3), cfg)
+        opt = optax.adam(3e-3)
+        opt_state = opt.init(params)
+
+        def loss_fn(p):
+            lat = encode_surface(p, cfg, surf, attn_impl="naive")
+            kv = decode_kv(p, cfg, lat, attn_impl="naive")
+            pred = query_sdf(p, cfg, kv, probes, attn_impl="naive")
+            return jnp.mean((pred - gt) ** 2)
+
+        @jax.jit
+        def step(p, s):
+            l, g = jax.value_and_grad(loss_fn)(p)
+            up, s = opt.update(g, s)
+            return optax.apply_updates(p, up), s, l
+
+        l0 = None
+        for i in range(steps):
+            params, opt_state, l = step(params, opt_state)
+            if l0 is None:
+                l0 = float(l)
+        assert float(l) < 0.1 * l0, f"SDF fit failed: {l0} -> {float(l)}"
+        return cfg, params, surf
+
+    def test_known_sdf_roundtrip_recovers_geometry(self):
+        cfg, params, surf = self._train_vae()
+        dit_cfg = triposg_dit_config(
+            num_tokens=16, in_channels=8, num_layers=1, width=32,
+            num_attention_heads=2, cross_attention_dim=16,
+        )
+        pipe = TripoSGPipeline(
+            dit_params=None, vae_params=params,
+            image_encoder=None, dit_cfg=dit_cfg, vae_cfg=cfg,
+            dtype=jnp.float32, attn_impl="naive",
+        )
+        lat = pipe.encode_to_latent(surf, seed=None)  # (2, 16, 8)
+        meshes = pipe.decode_latents(
+            lat, dense_octree_depth=5, hierarchical_octree_depth=6
+        )
+        assert len(meshes) == 2
+
+        def signed_volume(m):
+            v, f = m.vertices, m.faces
+            tri = v[f]
+            return float(
+                np.einsum("ij,ij->i", tri[:, 0],
+                          np.cross(tri[:, 1], tri[:, 2])).sum() / 6.0
+            )
+
+        sphere_mesh, box_mesh = meshes
+        assert sphere_mesh.n_faces > 50 and box_mesh.n_faces > 50
+
+        # chamfer-style residual: mean |analytic sdf| at recovered vertices
+        res_sphere = float(np.abs(self._sphere_sdf(sphere_mesh.vertices)).mean())
+        res_box = float(np.abs(self._box_sdf(box_mesh.vertices)).mean())
+        assert res_sphere < 0.05, res_sphere
+        assert res_box < 0.07, res_box
+
+        # volumes (orientation included: positive = outward MC winding)
+        v_sphere = signed_volume(sphere_mesh)
+        v_box = signed_volume(box_mesh)
+        gt_sphere = 4.0 / 3.0 * np.pi * self.R_SPHERE**3
+        gt_box = float(np.prod(2 * self.BOX_HALF))
+        assert abs(v_sphere - gt_sphere) / gt_sphere < 0.25, (v_sphere, gt_sphere)
+        assert abs(v_box - gt_box) / gt_box < 0.25, (v_box, gt_box)
+
+        # latent-dependence: crossing latents must swap the geometry
+        res_cross = float(np.abs(self._sphere_sdf(box_mesh.vertices)).mean())
+        assert res_cross > 2 * res_box, "box decoded suspiciously sphere-like"
