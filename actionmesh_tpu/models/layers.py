@@ -348,6 +348,38 @@ def init_flow_matching_block(
     return params
 
 
+def constrain_sp_layout(x, mesh, inflated: bool):
+    """Pin the sp-mesh activation layout at the inflate/de-inflate reshape.
+
+    On a (dp, tp, sp) mesh the inflated sequence axis is sp-sharded and the
+    per-frame form's merged (g*B*T) batch axis is (dp, sp)-sharded; the sp
+    shard boundary falls exactly on a frame boundary when T % sp == 0, so
+    the two layouts hold identical bytes per device and the reshape between
+    them is local. Without the explicit constraints GSPMD reshards the
+    per-frame q/k/v with a generic all-gather + dynamic-slice (21 x 134 MB
+    per Stage-I step at production shape — the r3c "spatial reshard").
+    No-op off-mesh, on sp=1 meshes, and when the axes don't divide.
+    """
+    if mesh is None:
+        return x
+    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    sp = axis_sizes.get("sp", 1)
+    if sp <= 1:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    dp = axis_sizes.get("dp", 1)
+    if inflated:
+        if x.shape[0] % dp or x.shape[1] % sp:
+            return x
+        spec = P("dp" if dp > 1 else None, "sp", None)
+    else:
+        if x.shape[0] % (dp * sp):
+            return x
+        spec = P(("dp", "sp") if dp > 1 else "sp", None, None)
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
 def flow_matching_block(
     params: Params,
     hidden_states: jnp.ndarray,
@@ -386,7 +418,10 @@ def flow_matching_block(
     if "s_attn" in params:
         normed = layer_norm(params["norm_s_attn"], hidden_states)
         if inflate_n_frames is not None:
-            normed = flat_batch_to_flat_seq(normed, inflate_n_frames)
+            normed = constrain_sp_layout(
+                flat_batch_to_flat_seq(normed, inflate_n_frames),
+                mesh, inflated=True,
+            )
         att = attention(
             params["s_attn"],
             normed,
@@ -397,7 +432,10 @@ def flow_matching_block(
             mesh=mesh,
         )
         if inflate_n_frames is not None:
-            att = flat_seq_to_flat_batch(att, inflate_n_frames)
+            att = constrain_sp_layout(
+                flat_seq_to_flat_batch(att, inflate_n_frames),
+                mesh, inflated=False,
+            )
         hidden_states = hidden_states + att
 
     if "x_attn" in params:

@@ -341,7 +341,8 @@ def _sharded_attention(q, k, v, scale, kv_mask, mesh, impl):
     axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
     B, H, Sq = q.shape[0], q.shape[1], q.shape[2]
     Sk = k.shape[2]
-    b_ax = "dp" if axis_sizes.get("dp", 1) > 1 and B % axis_sizes["dp"] == 0 else None
+    dp = axis_sizes.get("dp", 1)
+    b_ax = "dp" if dp > 1 and B % dp == 0 else None
     h_ax = "tp" if axis_sizes.get("tp", 1) > 1 and H % axis_sizes["tp"] == 0 else None
     sp = axis_sizes.get("sp", 1)
     s_ax = (
@@ -349,6 +350,20 @@ def _sharded_attention(q, k, v, scale, kv_mask, mesh, impl):
         if sp > 1 and Sq % sp == 0 and Sk % sp == 0 and Sq == Sk
         else None
     )
+    if s_ax is None and sp > 1:
+        # Per-frame (spatial/cross) attention on an sp mesh: the sequence
+        # cannot ring (odd per-frame length / Sq != Sk), but the merged
+        # (g*B*T) batch axis divides sp — shard IT over sp instead of
+        # replicating. This removes the per-layer q/k/v re-gather from the
+        # sp-sharded inflated output (134 MB x 22/step at production shape
+        # — the "spatial reshard" caveat of BENCH_NOTES r3c) because the
+        # sp sequence-shard boundary falls on a frame boundary (T % sp == 0),
+        # so the reshard is a local relayout; per-frame compute also halves
+        # per device. Batch entries are independent => bitwise identical.
+        if b_ax is not None and B % (dp * sp) == 0:
+            b_ax = ("dp", "sp")
+        elif b_ax is None and B % sp == 0:
+            b_ax = "sp"
     qkv_spec = P(b_ax, h_ax, s_ax, None)
     mask_spec = P(b_ax, s_ax)
 

@@ -157,10 +157,22 @@ def _fused_sharded(
 
     axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
     B, H, S, _ = x.shape
-    b_ax = "dp" if axis_sizes.get("dp", 1) > 1 and B % axis_sizes["dp"] == 0 else None
+    dp = axis_sizes.get("dp", 1)
+    b_ax = "dp" if dp > 1 and B % dp == 0 else None
     h_ax = "tp" if axis_sizes.get("tp", 1) > 1 and H % axis_sizes["tp"] == 0 else None
     sp = axis_sizes.get("sp", 1)
     s_ax = "sp" if sp > 1 and S % sp == 0 else None
+    if s_ax is None and sp > 1:
+        # Per-frame tensors on an sp mesh (odd per-frame S): shard the
+        # merged (g*B*T) batch over sp instead of replicating — otherwise
+        # this spec forces a per-layer all-gather of the sp-sharded
+        # activations (21 x 134 MB q + 21 x 17 MB context k per Stage-I
+        # step at production shape; same reasoning as
+        # ops/attention._sharded_attention).
+        if b_ax is not None and B % (dp * sp) == 0:
+            b_ax = ("dp", "sp")
+        elif b_ax is None and B % sp == 0:
+            b_ax = "sp"
     cb = cos.shape[0]
     tab_b = b_ax if (with_rope and cb == B) else None
     tab_s = s_ax if with_rope else None

@@ -55,7 +55,18 @@ def _shape_bytes(shape_str: str) -> int:
 def parse_collectives(hlo_text: str) -> list[dict]:
     """Every collective op in optimized (post-SPMD) HLO text with its
     output shape, byte size and replica groups. Tuple outputs (combined
-    collectives) sum their element sizes."""
+    collectives) sum their element sizes.
+
+    ``tpu_bytes`` is the byte count the same program moves on a TPU
+    backend: XLA:CPU legalizes bf16 dots to f32-with-converts, and the
+    algebraic simplifier leaves GSPMD's collectives on the f32 side of
+    those converts (measured: a minimal pure-bf16 Megatron matmul's
+    all-reduce compiles as ``f32 all-reduce(%convert...)`` followed by a
+    wrapped-convert back to bf16 — BENCH_NOTES r4b). On TPU, where bf16
+    dots emit bf16, the collective runs in bf16 at HALF the bytes. An f32
+    collective whose operand is a convert is therefore counted at bytes/2
+    in ``tpu_bytes``; genuinely-fp32 collectives (no convert operand)
+    keep their full size."""
     out = []
     for line in hlo_text.splitlines():
         for kind in COLLECTIVE_KINDS:
@@ -73,10 +84,16 @@ def parse_collectives(hlo_text: str) -> list[dict]:
                 groups = re.search(
                     r"replica_groups=(\{[^}]*\}+|\[[^\]]*\])", line
                 )
+                operands = line[m.end():].split(")", 1)[0]
+                cpu_f32_artifact = (
+                    shape_str.startswith("f32") and "convert" in operands
+                )
                 out.append({
                     "kind": kind,
                     "shape": shape_str,
                     "bytes": nbytes,
+                    "tpu_bytes": nbytes // 2 if cpu_f32_artifact else nbytes,
+                    "cpu_f32_artifact": cpu_f32_artifact,
                     "replica_groups": groups.group(1)[:120] if groups else "",
                 })
                 break
@@ -86,9 +103,12 @@ def parse_collectives(hlo_text: str) -> list[dict]:
 def summarize_collectives(colls: list[dict]) -> dict:
     by_kind: dict[str, dict] = {}
     for c in colls:
-        d = by_kind.setdefault(c["kind"], {"count": 0, "bytes": 0})
+        d = by_kind.setdefault(
+            c["kind"], {"count": 0, "bytes": 0, "tpu_bytes": 0}
+        )
         d["count"] += 1
         d["bytes"] += c["bytes"]
+        d["tpu_bytes"] += c.get("tpu_bytes", c["bytes"])
     return by_kind
 
 
@@ -437,7 +457,60 @@ def check_sp_invariants(stage1_report: dict, sp: int) -> list[str]:
     )
     if reduce_bytes == 0:
         fails.append("stage1 sp: no reduce traffic — tp partitioning missing")
+    # Per-layer per-frame activation re-gathers (the r3c "spatial reshard"
+    # pathology, fixed in r4 by batch-over-sp sharding of per-frame ops):
+    # a single small output gather is fine; per-layer 100 MB+ ones are not.
+    frame_act_bytes = 64 * 1024 * 1024
+    big_frame_ag = [
+        c for c in colls
+        if c["kind"] == "all-gather" and c["bytes"] >= frame_act_bytes
+    ]
+    if len(big_frame_ag) > 2:
+        fails.append(
+            f"stage1 sp: {len(big_frame_ag)} per-layer activation "
+            f"all-gathers >= 64 MB — per-frame ops are replicating over sp "
+            f"again (first: {big_frame_ag[0]['shape']})"
+        )
+    # HBM budget: v5e has 16 GB; the CPU buffer assignment must leave
+    # headroom for the (lower) TPU assignment to fit with weights+IO.
+    temps = stage1_report.get("memory", {}).get("temp_size_in_bytes", 0)
+    if temps > 14 * 1024**3:
+        fails.append(
+            f"stage1 sp: per-device temps {temps / 1e9:.2f} GB exceed the "
+            "14 GB production budget (16 GB v5e HBM minus weights/IO)"
+        )
     return fails
+
+
+def _collective_bytes(colls: list[dict], kinds: tuple) -> tuple[int, int]:
+    """(audited_cpu_bytes, tpu_expected_bytes) for the given kinds."""
+    sel = [c for c in colls if c["kind"] in kinds]
+    return (
+        sum(c["bytes"] for c in sel),
+        sum(c.get("tpu_bytes", c["bytes"]) for c in sel),
+    )
+
+
+# v5e ICI: 2D torus, ~45 GB/s/direction nominal per the scaling book; the
+# sensitivity axis brackets link-level variation and protocol efficiency.
+ICI_BW_POINTS = (3.5e10, 4.5e10, 5.5e10)
+OVERLAP_POINTS = (0.0, 0.5, 1.0)
+
+
+def _ici_surface(reduce_s: float, hideable_s: float) -> dict:
+    """step-ICI seconds over bandwidth x overlap: the tp-ring reduce time
+    is serial (it gates the next layer's input); ppermutes/gathers are
+    overlappable with attention compute by construction, scaled by the
+    overlap fraction actually achieved."""
+    surface = {}
+    for bw in ICI_BW_POINTS:
+        scale = 4.5e10 / bw
+        for ov in OVERLAP_POINTS:
+            key = f"bw{bw / 1e9:.0f}GBs_overlap{ov:g}"
+            surface[key] = round(
+                reduce_s * scale + hideable_s * scale * (1.0 - ov), 4
+            )
+    return surface
 
 
 def ici_estimate_sp(stage1_report: dict, tp: int, sp: int,
@@ -448,34 +521,38 @@ def ici_estimate_sp(stage1_report: dict, tp: int, sp: int,
     ring-attention KV ppermutes each cross one neighbor hop and overlap
     with the next partial-attention compute by construction, so their
     seconds are reported separately (serial worst case), not summed into
-    the reduce bound.
+    the reduce bound. All times are computed from ``tpu_bytes`` (bf16 on
+    the wire where the f32 is a CPU-legalization artifact — see
+    parse_collectives); the audited-CPU raw bytes are reported alongside.
+    The ``ici_seconds_surface`` grid spans bandwidth x overlap so the
+    projection is a sensitivity surface, not a single line.
     """
     if "collectives" not in stage1_report:
         return {}
     colls = stage1_report["collectives"]
-    reduce_bytes = sum(
-        c["bytes"] for c in colls
-        if c["kind"] in ("all-reduce", "reduce-scatter")
+    reduce_cpu, reduce_tpu = _collective_bytes(
+        colls, ("all-reduce", "reduce-scatter")
     )
-    perm_bytes = sum(
-        c["bytes"] for c in colls if c["kind"] == "collective-permute"
+    perm_cpu, perm_tpu = _collective_bytes(colls, ("collective-permute",))
+    gather_cpu, gather_tpu = _collective_bytes(colls, ("all-gather",))
+    reduce_s = (
+        reduce_tpu * 2 * (tp - 1) / tp / ici_bytes_per_s if tp > 1 else 0.0
     )
-    gather_bytes = sum(
-        c["bytes"] for c in colls if c["kind"] == "all-gather"
+    perm_s = perm_tpu / ici_bytes_per_s
+    gather_s = (
+        gather_tpu * (sp - 1) / sp / ici_bytes_per_s if sp > 1 else 0.0
     )
-    reduce_s = reduce_bytes * 2 * (tp - 1) / tp / ici_bytes_per_s if tp > 1 else 0.0
-    perm_s = perm_bytes / ici_bytes_per_s
-    # spatial-attention reshard: 2049 tokens/frame is odd, so the per-frame
-    # attention cannot ring and its q/k re-gather over sp each layer
-    gather_s = gather_bytes * (sp - 1) / sp / ici_bytes_per_s if sp > 1 else 0.0
     return {
-        "stage1_reduce_bytes_per_step": int(reduce_bytes),
-        "stage1_ppermute_bytes_per_step": int(perm_bytes),
-        "stage1_allgather_bytes_per_step": int(gather_bytes),
+        "stage1_reduce_bytes_per_step_cpu_audit": int(reduce_cpu),
+        "stage1_reduce_bytes_per_step_tpu": int(reduce_tpu),
+        "stage1_ppermute_bytes_per_step_tpu": int(perm_tpu),
+        "stage1_allgather_bytes_per_step_cpu_audit": int(gather_cpu),
+        "stage1_allgather_bytes_per_step_tpu": int(gather_tpu),
         "assumed_ici_bytes_per_s_per_dir": ici_bytes_per_s,
         "stage1_ici_seconds_per_step_tp_ring": round(reduce_s, 4),
         "stage1_ici_seconds_allgather": round(gather_s, 4),
         "stage1_ici_seconds_ppermute_overlappable": round(perm_s, 4),
+        "ici_seconds_surface": _ici_surface(reduce_s, perm_s + gather_s),
     }
 
 
@@ -486,18 +563,20 @@ def ici_estimate(stage1_report: dict, tp: int,
     Ring all-reduce moves 2(n-1)/n of the tensor over each link pair;
     4.5e10 B/s/direction is the v5e ICI figure (scaling-book). This
     replaces the round-2 'assumed ~70% scaling' with program-derived
-    numbers (overlap with compute not modeled — this is the serial bound).
+    numbers. Times use ``tpu_bytes`` (bf16-on-the-wire where the audited
+    f32 is CPU legalization — see parse_collectives); a bandwidth x
+    overlap sensitivity surface brackets the projection.
     """
     if "collectives" not in stage1_report:
         return {}
     # scan body prints once in HLO => parsed totals are already per-step
-    per_step = sum(
-        c["bytes"] for c in stage1_report["collectives"]
-        if c["kind"] in ("all-reduce", "reduce-scatter")
-    )
-    ici_s = per_step * 2 * (tp - 1) / tp / ici_bytes_per_s
+    colls = stage1_report["collectives"]
+    cpu_b, tpu_b = _collective_bytes(colls, ("all-reduce", "reduce-scatter"))
+    ici_s = tpu_b * 2 * (tp - 1) / tp / ici_bytes_per_s
     return {
-        "stage1_reduce_bytes_per_step": int(per_step),
+        "stage1_reduce_bytes_per_step_cpu_audit": int(cpu_b),
+        "stage1_reduce_bytes_per_step_tpu": int(tpu_b),
         "assumed_ici_bytes_per_s_per_dir": ici_bytes_per_s,
         "stage1_ici_seconds_per_step_tp_ring": round(ici_s, 4),
+        "ici_seconds_surface": _ici_surface(ici_s, 0.0),
     }

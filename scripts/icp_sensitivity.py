@@ -54,7 +54,7 @@ def main() -> None:
     cases = []
     for s in range(args.samples):
         meshes = animated_mesh_sequence(1000 + s, args.frames)
-        gt = tracked_gt_points(meshes, 50_000, seed=s + 7)
+        gt = tracked_gt_points(meshes, 50_000, seed=s + 7)[..., :3]
         rng = np.random.default_rng(s + 13)
         cases.append((gt, _perturb_rigid(meshes, rng), meshes))
 
