@@ -562,3 +562,73 @@ def evaluate_predictions(
         "cd_4d": float(ok["cd_4d"].mean()) if len(ok) else float("nan"),
         "cd_motion": float(ok["cd_motion"].mean()) if len(ok) else float("nan"),
     }
+
+
+def run_inference_oracle(
+    root: str | Path,
+    pipe,
+    uids: list[str],
+    out_dir: str | Path,
+    spec: CascadeSpec,
+    build_seed: int = 0,
+    seed: int = 44,
+) -> None:
+    """Stage-II-only ablation: feed GROUND-TRUTH latents to the decoder.
+
+    Replaces Stage I's generated latents with the frozen VAE's mean encode
+    of every frame's true surface (the same construction the training
+    clips used), then runs the real Stage-II decode + denormalize +
+    re-expansion. Scoring this variant separates decoder error from
+    denoiser error in the closed-loop CD table: (oracle - identity) is
+    what Stage II loses, (trained - oracle) is what Stage I loses.
+    """
+    from actionmesh_tpu.preprocessing.mesh import (
+        denormalize_mesh,
+        normalize_mesh,
+        sample_surface,
+    )
+
+    root, out_dir = Path(root), Path(out_dir)
+    for uid in uids:
+        idx = int(uid.rsplit("_", 1)[1])
+        scene_seed = build_seed * 100_003 + idx
+        meshes_gt = make_scene(scene_seed, spec)
+        video = load_video(root, uid, spec)
+        anchor = load_glb(root / "anchor" / f"{uid}.glb")
+
+        (
+            latent_bank,
+            mesh_bank,
+            (center, factor),
+            vertex_merge_map,
+            pre_merge_faces,
+        ) = pipe.init_banks_from_anchor(video, anchor, seed)
+
+        normed = [
+            Mesh((m.vertices - center) * factor, m.faces) for m in meshes_gt
+        ]
+        surf = np.stack(
+            [
+                sample_surface(
+                    m, n_points=spec.surface_samples,
+                    seed=scene_seed + 101 + t, with_normals=True,
+                )
+                for t, m in enumerate(normed)
+            ]
+        )
+        latents = pipe.vae.encode_to_latent(surf)  # (T, K, C) mean encode
+        latent_bank.update(
+            timesteps=video.timesteps[1:], latents=latents[1:]
+        )
+        mesh_bank = pipe.generate_mesh_animation(
+            latent_bank=latent_bank, mesh_bank=mesh_bank
+        )
+        out = [denormalize_mesh(m, center, factor) for m in mesh_bank.get_ordered()[0]]
+        pred = out_dir / uid
+        pred.mkdir(parents=True, exist_ok=True)
+        for t, m in enumerate(out):
+            Mesh(
+                vertices=m.vertices[vertex_merge_map],
+                faces=pre_merge_faces,
+            ).export(pred / f"mesh_{t:02d}.glb")
+        logger.info("oracle-decoded %s: %d meshes", uid, len(out))

@@ -75,7 +75,8 @@ def phase_train(root: Path, args) -> None:
     )
 
     spec = CascadeSpec.load(root / "spec.json")
-    ckpt_dir = root / "ckpt"
+    ckpt_dir = root / args.ckpt_name
+    suffix = "" if args.ckpt_name == "ckpt" else f"_{args.ckpt_name}"
 
     # -- Stage I: rectified flow -----------------------------------------
     ds = ClipWindowDataset(
@@ -103,7 +104,7 @@ def phase_train(root: Path, args) -> None:
         eval_every=max(1, args.flow_steps // 20),
         log_every=50,
         ckpt_every=max(100, args.flow_steps // 4),
-        out_dir=str(root / "train_flow"),
+        out_dir=str(root / f"train_flow{suffix}"),
         seed=args.seed,
     )
     t0 = time.time()
@@ -118,7 +119,7 @@ def phase_train(root: Path, args) -> None:
         f"{evals[0]['eval_loss']:.4f}" if evals else "n/a",
         f"{evals[-1]['eval_loss']:.4f}" if evals else "n/a",
     )
-    (root / "train_flow_log.json").write_text(json.dumps(logs))
+    (root / f"train_flow{suffix}_log.json").write_text(json.dumps(logs))
 
     # -- Stage II: decoder regression -------------------------------------
     dds = DecoderTrackDataset(
@@ -147,7 +148,7 @@ def phase_train(root: Path, args) -> None:
         eval_every=max(1, args.decoder_steps // 20),
         log_every=50,
         ckpt_every=max(100, args.decoder_steps // 4),
-        out_dir=str(root / "train_decoder"),
+        out_dir=str(root / f"train_decoder{suffix}"),
         seed=args.seed,
     )
     t0 = time.time()
@@ -162,7 +163,7 @@ def phase_train(root: Path, args) -> None:
         f"{devals[0]['eval_loss']:.5f}" if devals else "n/a",
         f"{devals[-1]['eval_loss']:.5f}" if devals else "n/a",
     )
-    (root / "train_decoder_log.json").write_text(json.dumps(dlogs))
+    (root / f"train_decoder{suffix}_log.json").write_text(json.dumps(dlogs))
     del jax  # imported for backend selection side effect only
 
 
@@ -233,15 +234,49 @@ def phase_distill(root: Path, args) -> None:
         root / "ckpt_distilled" / "autoencoder.npz",
     )
 
+    if args.extra_progressive:
+        # Round 3: one more halving (8 -> 4 Euler steps)
+        student = state.get("ema_params", state["params"])
+        t0 = time.time()
+        state, _ = run_distillation(
+            spec.denoiser_config(),
+            student,
+            make_batches(args.seed + 2),
+            loop_cfg("distill_progressive4", args.distill_steps),
+            mode="progressive",
+            num_teacher_steps=spec.num_inference_steps // 2,
+            teacher_guidance_scale=None,
+        )
+        logger.info("progressive distill (8->4): %.0fs", time.time() - t0)
+        export_for_inference(
+            state, root / "ckpt_distilled4", stage="flow", compute_dtype=None
+        )
+        shutil.copy(
+            root / "ckpt" / "autoencoder.npz",
+            root / "ckpt_distilled4" / "autoencoder.npz",
+        )
+
 
 VARIANTS = {
     # name -> (ckpt subdir or None, extra config updates)
+    # "oracle" feeds ground-truth latents to the trained decoder
+    # (closed_loop.run_inference_oracle) — the Stage-II-only ablation.
+    "oracle": ("ckpt", {}),
     "random": (None, {}),
     "trained": ("ckpt", {}),
+    "trained_short": ("ckpt_short", {}),
     "distilled": (
         "ckpt_distilled",
         {
             "scheduler.num_inference_steps": 8,
+            "cf_guidance.guidance_at_inference": [[1, 1]],
+            "cf_guidance.guidance_scales": [],
+        },
+    ),
+    "distilled4": (
+        "ckpt_distilled4",
+        {
+            "scheduler.num_inference_steps": 4,
             "cf_guidance.guidance_at_inference": [[1, 1]],
             "cf_guidance.guidance_scales": [],
         },
@@ -255,6 +290,7 @@ def phase_eval(root: Path, args) -> dict:
         evaluate_predictions,
         make_pipeline,
         run_inference,
+        run_inference_oracle,
     )
 
     spec = CascadeSpec.load(root / "spec.json")
@@ -269,7 +305,13 @@ def phase_eval(root: Path, args) -> dict:
         t0 = time.time()
         pipe = make_pipeline(spec, ckpt_dir=ckpt, extra_updates=extra)
         pred_dir = root / f"pred_{name}"
-        run_inference(root, pipe, uids, pred_dir, spec, seed=args.seed + 44)
+        if name == "oracle":
+            run_inference_oracle(
+                root, pipe, uids, pred_dir, spec,
+                build_seed=args.seed, seed=args.seed + 44,
+            )
+        else:
+            run_inference(root, pipe, uids, pred_dir, spec, seed=args.seed + 44)
         t_infer = time.time() - t0
         t0 = time.time()
         metrics = evaluate_predictions(
@@ -287,6 +329,12 @@ def phase_eval(root: Path, args) -> dict:
         "n_eval_scenes": len(uids),
         "variants": report,
     }
+    if out.exists():  # merge: keep variants from earlier eval invocations
+        try:
+            prev = json.loads(out.read_text()).get("variants", {})
+            payload["variants"] = {**prev, **report}
+        except Exception:
+            pass
     out.write_text(json.dumps(payload, indent=2))
     logger.info("wrote %s", out)
     return report
@@ -307,6 +355,10 @@ def main() -> None:
     ap.add_argument("--eval-batches", type=int, default=4)
     ap.add_argument("--icp-iters", type=int, default=200)
     ap.add_argument("--variants", type=str, default="random,trained")
+    ap.add_argument("--ckpt-name", type=str, default="ckpt",
+                    help="checkpoint subdir written by the train phase")
+    ap.add_argument("--extra-progressive", action="store_true",
+                    help="distill one more halving (8 -> 4 steps)")
     ap.add_argument("--report-name", type=str, default="CLOSED_LOOP.json")
     args = ap.parse_args()
 
