@@ -63,6 +63,11 @@ class TrainLoopConfig:
     log_every: int = 10
     ckpt_every: int = 500
     eval_every: int = 0  # 0 = no held-out evaluation
+    # Also keep ckpt_best.npz, the state at the LOWEST held-out eval loss
+    # (early-stopping export; the r4a closed loop measured the Stage-II
+    # decoder overfitting past ~1k steps — motion CD degraded 25% between
+    # the best-eval point and the final step).
+    keep_best_eval: bool = False
     out_dir: str = "train_out"
     resume: bool = True
     profile_steps: Optional[tuple[int, int]] = None  # [start, end) micro-steps
@@ -126,12 +131,12 @@ def _latest_ckpt(out_dir: Path) -> Optional[Path]:
     return path if path.exists() else None
 
 
-def _save_ckpt(state, out_dir: Path) -> Path:
+def _save_ckpt(state, out_dir: Path, name: str = "ckpt_latest.npz") -> Path:
     """Atomic checkpoint write: tmp file + rename, so a crash mid-write
     never corrupts the resume point."""
     out_dir.mkdir(parents=True, exist_ok=True)
-    final = out_dir / "ckpt_latest.npz"
-    tmp = out_dir / ".ckpt_tmp.npz"
+    final = out_dir / name
+    tmp = out_dir / f".{name}"  # hidden + still .npz (np.savez appends otherwise)
     save_train_state(state, tmp)
     os.replace(tmp, final)
     return final
@@ -183,14 +188,19 @@ def _run_loop(
         t0 = time.perf_counter()
 
     last_eval = -1
+    best_eval = float("inf")
 
     def run_eval(step: int) -> None:
-        nonlocal last_eval
+        nonlocal last_eval, best_eval
         if step == last_eval:
             return
         last_eval = step
         flush()
         rec = {"step": step, "eval_loss": eval_fn(state)}
+        if cfg.keep_best_eval and rec["eval_loss"] < best_eval:
+            best_eval = rec["eval_loss"]
+            _save_ckpt(state, out_dir, name="ckpt_best.npz")
+            rec["best"] = True
         with log_path.open("a") as fh:
             fh.write(json.dumps(rec) + "\n")
         history.append(rec)

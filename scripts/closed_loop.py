@@ -57,6 +57,17 @@ def _eval_batches(make_iter, n: int) -> list[dict]:
     return out
 
 
+def _best_or_final(state, train_dir: Path):
+    """Prefer the best-held-out-eval checkpoint for the inference export."""
+    best = Path(train_dir) / "ckpt_best.npz"
+    if best.exists():
+        from actionmesh_tpu.training.checkpoint import restore_train_state
+
+        logger.info("exporting best-eval checkpoint %s", best)
+        return restore_train_state(best, state)
+    return state
+
+
 def phase_train(root: Path, args) -> None:
     import jax
 
@@ -102,6 +113,7 @@ def phase_train(root: Path, args) -> None:
         ema_decay=0.999,
         p_uncond=0.1,
         eval_every=max(1, args.flow_steps // 20),
+        keep_best_eval=True,
         log_every=50,
         ckpt_every=max(100, args.flow_steps // 4),
         out_dir=str(root / f"train_flow{suffix}"),
@@ -111,6 +123,7 @@ def phase_train(root: Path, args) -> None:
     state, logs = run_flow_training(
         spec.denoiser_config(), batches, cfg, eval_batches=eval_b
     )
+    state = _best_or_final(state, root / f"train_flow{suffix}")
     export_for_inference(state, ckpt_dir, stage="flow", compute_dtype=None)
     evals = [l for l in logs if "eval_loss" in l]
     logger.info(
@@ -146,6 +159,7 @@ def phase_train(root: Path, args) -> None:
         warmup_steps=min(200, args.decoder_steps // 10),
         ema_decay=None,
         eval_every=max(1, args.decoder_steps // 20),
+        keep_best_eval=True,
         log_every=50,
         ckpt_every=max(100, args.decoder_steps // 4),
         out_dir=str(root / f"train_decoder{suffix}"),
@@ -155,6 +169,7 @@ def phase_train(root: Path, args) -> None:
     dstate, dlogs = run_decoder_training(
         spec.autoencoder_config(), dbatches, dcfg, eval_batches=deval_b
     )
+    dstate = _best_or_final(dstate, root / f"train_decoder{suffix}")
     export_for_inference(dstate, ckpt_dir, stage="decoder", compute_dtype=None)
     devals = [l for l in dlogs if "eval_loss" in l]
     logger.info(
@@ -265,6 +280,7 @@ VARIANTS = {
     "random": (None, {}),
     "trained": ("ckpt", {}),
     "trained_short": ("ckpt_short", {}),
+    "trained_best": ("ckpt_best", {}),  # best-held-out-eval export
     "distilled": (
         "ckpt_distilled",
         {

@@ -882,3 +882,35 @@ class TestShardedGradAccum:
         assert isinstance(opt_state, optax.MultiStepsState)
         acc_leaf = jax.tree.leaves(opt_state.acc_grads)[0]
         assert len(acc_leaf.sharding.device_set) == 8
+
+
+class TestBestEvalCheckpoint:
+    def test_keep_best_eval_saves_and_tracks_minimum(self, tmp_path):
+        """ckpt_best.npz snapshots the state at the LOWEST held-out eval
+        loss even when later evals regress (the early-stopping export the
+        closed loop uses — its decoder measurably overfits past the best
+        point, BENCH_NOTES r4a)."""
+        from actionmesh_tpu.training.checkpoint import restore_train_state
+        from actionmesh_tpu.training.data import synthesize_clip_dir
+
+        clip_dir = synthesize_clip_dir(
+            tmp_path / "clips", n_clips=2, frames=8, seed=0
+        )
+        ds = ClipWindowDataset(clip_dir, window=4)
+        cfg = TrainLoopConfig(
+            total_steps=6, peak_lr=1e-3, warmup_steps=1, log_every=1,
+            ckpt_every=100, eval_every=2, keep_best_eval=True,
+            out_dir=str(tmp_path / "run"), seed=0,
+        )
+        eval_b = [next(flow_batches(ds, 2, seed=9))]
+        state, history = run_flow_training(
+            TINY, flow_batches(ds, 2, seed=0), cfg, eval_batches=eval_b
+        )
+        best_path = tmp_path / "run" / "ckpt_best.npz"
+        assert best_path.exists()
+        evals = [(h["step"], h["eval_loss"]) for h in history if "eval_loss" in h]
+        best_step = min(evals, key=lambda t: t[1])[0]
+        marked = [h["step"] for h in history if h.get("best")]
+        assert marked and marked[-1] == best_step
+        best_state = restore_train_state(best_path, state)
+        assert int(best_state["step"]) == best_step
