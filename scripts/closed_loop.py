@@ -281,6 +281,8 @@ VARIANTS = {
     "trained": ("ckpt", {}),
     "trained_short": ("ckpt_short", {}),
     "trained_best": ("ckpt_best", {}),  # best-held-out-eval export
+    # final-step flow + best-eval decoder (the decoder is what overfits)
+    "trained_mixed": ("ckpt_mixed", {}),
     "distilled": (
         "ckpt_distilled",
         {
