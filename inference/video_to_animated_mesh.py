@@ -135,6 +135,10 @@ def main():
         help="Distilled preset (8 guidance-free Stage-I steps); requires a "
         "checkpoint from scripts/train.py --stage distill.")
     parser.add_argument(
+        "--distilled4", action="store_true",
+        help="Distilled-4 preset (4 guidance-free Stage-I steps); requires "
+        "a three-round distilled checkpoint (guidance -> halve -> halve).")
+    parser.add_argument(
         "--dtype", type=str, choices=["bfloat16", "float16", "float32"],
         default="bfloat16",
     )
@@ -151,7 +155,15 @@ def main():
     )
     args = parser.parse_args()
 
-    if args.distilled:
+    if args.distilled4:
+        config_name = "actionmesh_distilled4"
+        logger.info(
+            "Distilled-4 preset: 4 guidance-free Stage-I steps (expects a "
+            "three-round distilled checkpoint)."
+        )
+        if args.fast or args.low_ram or args.distilled:
+            logger.warning("--distilled4 overrides --fast/--low_ram/--distilled.")
+    elif args.distilled:
         config_name = "actionmesh_distilled"
         logger.info(
             "Distilled preset: 8 guidance-free Stage-I steps (expects a "
