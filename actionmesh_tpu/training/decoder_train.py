@@ -48,6 +48,78 @@ def masked_position_mse(
     return num / jnp.maximum(den, 1.0)
 
 
+def chamfer_eval_metrics(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    vertex_mask: Optional[jnp.ndarray] = None,
+) -> dict:
+    """Jittable chamfer-proxy metrics on tracked decoder outputs.
+
+    Mirrors the ActionBench definitions (actionbench/chamfer.py:14-65) on
+    the decoder's own (B, T_out, V, 3) predictions vs tracked ground truth,
+    skipping ICP (decoder outputs already live in the GT's normalized
+    frame):
+
+      eval_cd      per-frame symmetric chamfer (sum of both directional
+                   NN-distance means), averaged over frames and batch
+      eval_motion  frame-0 NN index matching, tracked L2 averaged over
+                   time, symmetric sum (compute_motion_chamfer_score)
+
+    MSE is blind to the static-vs-motion trade-off the closed loop
+    measured (BENCH_NOTES r4f: the MSE-best decoder checkpoint gives
+    oracle-level CD-M but +16% CD-3D; the final checkpoint the reverse) —
+    these metrics let checkpoint selection see both axes. Padded vertices
+    (vertex_mask == 0) are excluded from both argmin targets and means.
+    """
+    p = pred.astype(jnp.float32)
+    g = target.astype(jnp.float32)
+    B, T, V, _ = p.shape
+    if vertex_mask is None:
+        w = jnp.ones((B, V), jnp.float32)
+    else:
+        w = vertex_mask.astype(jnp.float32)
+    big = jnp.float32(1e9)
+    n_valid = jnp.maximum(w.sum(axis=1), 1.0)  # (B,)
+
+    # (B, T, V_pred, V_gt) pairwise distances; pred/target share the mask
+    # (they are the same tracked vertices).
+    d = jnp.sqrt(
+        jnp.maximum(
+            jnp.sum((p[:, :, :, None, :] - g[:, :, None, :, :]) ** 2, -1),
+            1e-12,
+        )
+    )
+    invalid_col = big * (1.0 - w)  # broadcast helpers
+    # pred -> gt: for each valid pred point, nearest valid gt point
+    min_pg = jnp.min(d + invalid_col[:, None, None, :], axis=3)  # (B,T,V)
+    # gt -> pred
+    min_gp = jnp.min(d + invalid_col[:, None, :, None], axis=2)  # (B,T,V)
+    mean_pg = jnp.einsum("btv,bv->bt", min_pg, w) / n_valid[:, None]
+    mean_gp = jnp.einsum("btv,bv->bt", min_gp, w) / n_valid[:, None]
+    eval_cd = jnp.mean(mean_pg + mean_gp)
+
+    # Motion: match indices on frame 0, average tracked L2 over time.
+    d0 = d[:, 0]  # (B, V_pred, V_gt)
+    idx_gt_to_pred = jnp.argmin(
+        d0 + invalid_col[:, :, None], axis=1
+    )  # (B, V_gt) nearest valid pred per gt point
+    idx_pred_to_gt = jnp.argmin(
+        d0 + invalid_col[:, None, :], axis=2
+    )  # (B, V_pred) nearest valid gt per pred point
+    p_matched = jnp.take_along_axis(
+        p, idx_gt_to_pred[:, None, :, None], axis=2
+    )  # (B, T, V_gt, 3)
+    g_matched = jnp.take_along_axis(
+        g, idx_pred_to_gt[:, None, :, None], axis=2
+    )  # (B, T, V_pred, 3)
+    l2_1 = jnp.linalg.norm(p_matched - g, axis=-1).mean(axis=1)  # (B, V_gt)
+    l2_2 = jnp.linalg.norm(g_matched - p, axis=-1).mean(axis=1)  # (B, V_pred)
+    m1 = jnp.einsum("bv,bv->b", l2_1, w) / n_valid
+    m2 = jnp.einsum("bv,bv->b", l2_2, w) / n_valid
+    eval_motion = jnp.mean(m1 + m2)
+    return {"eval_cd": eval_cd, "eval_motion": eval_motion}
+
+
 def decoder_loss(
     params,
     cfg: AutoencoderConfig,
@@ -84,6 +156,50 @@ def decoder_loss(
         remat=remat,
     )
     return masked_position_mse(pred, batch["positions"], batch.get("vertex_mask"))
+
+
+def decoder_eval_metrics(
+    params,
+    cfg: AutoencoderConfig,
+    batch: dict,
+    *,
+    attn_impl: str = "auto_train",
+    mesh=None,
+    remat: bool = True,
+    compute_dtype: Optional[jnp.dtype] = None,
+    with_chamfer: bool = False,
+) -> dict:
+    """One eval forward -> {eval_loss[, eval_cd, eval_motion]}.
+
+    Shares a single autoencoder forward between the MSE and the
+    chamfer-proxy metrics (chamfer_eval_metrics)."""
+    fwd_params = (
+        params
+        if compute_dtype is None
+        else cast_params_for_compute(params, compute_dtype)
+    )
+    pred = autoencoder_forward(
+        fwd_params,
+        cfg,
+        batch["latents"],
+        batch["framestep"],
+        batch["source_alpha"],
+        batch["target_alphas"],
+        batch["query"],
+        attn_impl=attn_impl,
+        compute_dtype=compute_dtype or jnp.float32,
+        mesh=mesh,
+        remat=remat,
+    )
+    vertex_mask = batch.get("vertex_mask")
+    out = {
+        "eval_loss": masked_position_mse(pred, batch["positions"], vertex_mask)
+    }
+    if with_chamfer:
+        out.update(
+            chamfer_eval_metrics(pred, batch["positions"], vertex_mask)
+        )
+    return out
 
 
 def make_decoder_train_step(

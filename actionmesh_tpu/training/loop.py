@@ -63,11 +63,19 @@ class TrainLoopConfig:
     log_every: int = 10
     ckpt_every: int = 500
     eval_every: int = 0  # 0 = no held-out evaluation
-    # Also keep ckpt_best.npz, the state at the LOWEST held-out eval loss
+    # Also keep ckpt_best.npz, the state at the LOWEST held-out eval metric
     # (early-stopping export; the r4a closed loop measured the Stage-II
     # decoder overfitting past ~1k steps — motion CD degraded 25% between
     # the best-eval point and the final step).
     keep_best_eval: bool = False
+    # Which eval-record key selects ckpt_best.npz. eval_fn may return a dict
+    # of metrics (e.g. the decoder's chamfer-aware eval adds eval_cd /
+    # eval_motion / eval_score); selection defaults to the plain eval loss.
+    best_metric: str = "eval_loss"
+    # Additionally keep ckpt_best_{key}.npz per listed metric key — lets one
+    # training run export checkpoints selected by competing criteria (the
+    # closed loop compares MSE-best vs chamfer-best decoder exports).
+    track_best_metrics: tuple = ()
     out_dir: str = "train_out"
     resume: bool = True
     profile_steps: Optional[tuple[int, int]] = None  # [start, end) micro-steps
@@ -188,19 +196,31 @@ def _run_loop(
         t0 = time.perf_counter()
 
     last_eval = -1
-    best_eval = float("inf")
+    best_eval: dict[str, float] = {}
 
     def run_eval(step: int) -> None:
-        nonlocal last_eval, best_eval
+        nonlocal last_eval
         if step == last_eval:
             return
         last_eval = step
         flush()
-        rec = {"step": step, "eval_loss": eval_fn(state)}
-        if cfg.keep_best_eval and rec["eval_loss"] < best_eval:
-            best_eval = rec["eval_loss"]
-            _save_ckpt(state, out_dir, name="ckpt_best.npz")
-            rec["best"] = True
+        res = eval_fn(state)
+        rec = {"step": step}
+        rec.update(res if isinstance(res, dict) else {"eval_loss": res})
+        if cfg.keep_best_eval:
+            selectors = [(cfg.best_metric, "ckpt_best.npz")] + [
+                (k, f"ckpt_best_{k}.npz")
+                for k in cfg.track_best_metrics
+                if k != cfg.best_metric
+            ]
+            for key, name in selectors:
+                if key not in rec:
+                    continue
+                if rec[key] < best_eval.get(key, float("inf")):
+                    best_eval[key] = rec[key]
+                    _save_ckpt(state, out_dir, name=name)
+                    if key == cfg.best_metric:
+                        rec["best"] = True
         with log_path.open("a") as fh:
             fh.write(json.dumps(rec) + "\n")
         history.append(rec)
@@ -355,10 +375,18 @@ def run_decoder_training(
     attn_impl: str = "auto_train",
     on_log: Optional[Callable[[dict], None]] = None,
     eval_batches: Optional[list[dict]] = None,
+    eval_chamfer: bool = False,
 ) -> tuple[dict, list[dict]]:
     """Train the Stage-II decoder with masked position MSE (same loop/IO
     contract as run_flow_training; batches use the
-    training/decoder_train.decoder_loss layout)."""
+    training/decoder_train.decoder_loss layout).
+
+    ``eval_chamfer`` adds chamfer-proxy metrics to every held-out eval
+    record (eval_cd, eval_motion, and their sum eval_score — CD and CD-M
+    carry equal weight on the reference leaderboard,
+    ref:actionbench/README.md:63-69); combine with
+    ``cfg.best_metric="eval_score"`` for chamfer-aware checkpoint
+    selection."""
     if params is None:
         params = init_autoencoder(jax.random.key(cfg.seed), model_cfg)
     shardings = None
@@ -380,11 +408,11 @@ def run_decoder_training(
 
     eval_fn = None
     if eval_batches:
-        from actionmesh_tpu.training.decoder_train import decoder_loss
+        from actionmesh_tpu.training.decoder_train import decoder_eval_metrics
 
         @jax.jit
-        def eval_loss(eval_params, batch):
-            return decoder_loss(
+        def eval_metrics(eval_params, batch):
+            return decoder_eval_metrics(
                 eval_params,
                 model_cfg,
                 batch,
@@ -392,6 +420,7 @@ def run_decoder_training(
                 mesh=mesh,
                 remat=True,
                 compute_dtype=_compute_dtype(cfg),
+                with_chamfer=eval_chamfer,
             )
 
         sharding = batch_sharding(mesh) if mesh is not None else None
@@ -403,9 +432,15 @@ def run_decoder_training(
             for b in eval_batches
         ]
 
-        def eval_fn(current_state: dict) -> float:
-            losses = [eval_loss(current_state["params"], b) for b in held_out]
-            return float(sum(float(l) for l in losses) / len(losses))
+        def eval_fn(current_state: dict) -> dict:
+            per_batch = [eval_metrics(current_state["params"], b) for b in held_out]
+            out = {
+                k: float(sum(float(m[k]) for m in per_batch) / len(per_batch))
+                for k in per_batch[0]
+            }
+            if eval_chamfer:
+                out["eval_score"] = out["eval_cd"] + out["eval_motion"]
+            return out
 
     return _run_loop(
         state,

@@ -153,6 +153,7 @@ def phase_train(root: Path, args) -> None:
         ),
         args.eval_batches,
     )
+    select_chamfer = getattr(args, "decoder_select_chamfer", False)
     dcfg = TrainLoopConfig(
         total_steps=args.decoder_steps,
         peak_lr=args.lr,
@@ -160,6 +161,8 @@ def phase_train(root: Path, args) -> None:
         ema_decay=None,
         eval_every=max(1, args.decoder_steps // 20),
         keep_best_eval=True,
+        best_metric="eval_score" if select_chamfer else "eval_loss",
+        track_best_metrics=("eval_loss",) if select_chamfer else (),
         log_every=50,
         ckpt_every=max(100, args.decoder_steps // 4),
         out_dir=str(root / f"train_decoder{suffix}"),
@@ -167,10 +170,34 @@ def phase_train(root: Path, args) -> None:
     )
     t0 = time.time()
     dstate, dlogs = run_decoder_training(
-        spec.autoencoder_config(), dbatches, dcfg, eval_batches=deval_b
+        spec.autoencoder_config(), dbatches, dcfg, eval_batches=deval_b,
+        eval_chamfer=select_chamfer,
     )
-    dstate = _best_or_final(dstate, root / f"train_decoder{suffix}")
-    export_for_inference(dstate, ckpt_dir, stage="decoder", compute_dtype=None)
+    if select_chamfer:
+        # Three decoder exports from ONE training run: final, chamfer-best
+        # (eval_score = eval_cd + eval_motion), MSE-best. All share the
+        # flow checkpoint already exported into ckpt_dir above.
+        import shutil
+
+        from actionmesh_tpu.training.checkpoint import restore_train_state
+
+        export_for_inference(dstate, ckpt_dir, stage="decoder", compute_dtype=None)
+        ddir = root / f"train_decoder{suffix}"
+        for best_name, out_name in (
+            ("ckpt_best.npz", "ckpt_cd"),
+            ("ckpt_best_eval_loss.npz", "ckpt_mse"),
+        ):
+            src = ddir / best_name
+            if not src.exists():
+                logger.warning("no %s — skipping %s export", src, out_name)
+                continue
+            best_state = restore_train_state(src, dstate)
+            out = root / out_name
+            export_for_inference(best_state, out, stage="decoder", compute_dtype=None)
+            shutil.copy(ckpt_dir / "denoiser.npz", out / "denoiser.npz")
+    else:
+        dstate = _best_or_final(dstate, root / f"train_decoder{suffix}")
+        export_for_inference(dstate, ckpt_dir, stage="decoder", compute_dtype=None)
     devals = [l for l in dlogs if "eval_loss" in l]
     logger.info(
         "decoder: %d steps in %.0fs; eval loss %s -> %s",
@@ -277,6 +304,12 @@ VARIANTS = {
     # "oracle" feeds ground-truth latents to the trained decoder
     # (closed_loop.run_inference_oracle) — the Stage-II-only ablation.
     "oracle": ("ckpt", {}),
+    # chamfer-aware vs MSE-best decoder checkpoint selection (r4g):
+    # same flow checkpoint, decoder selected by eval_score / eval_loss.
+    "oracle_cd": ("ckpt_cd", {}),
+    "oracle_mse": ("ckpt_mse", {}),
+    "trained_cd": ("ckpt_cd", {}),
+    "trained_mse": ("ckpt_mse", {}),
     "random": (None, {}),
     "trained": ("ckpt", {}),
     "trained_short": ("ckpt_short", {}),
@@ -323,7 +356,7 @@ def phase_eval(root: Path, args) -> dict:
         t0 = time.time()
         pipe = make_pipeline(spec, ckpt_dir=ckpt, extra_updates=extra)
         pred_dir = root / f"pred_{name}"
-        if name == "oracle":
+        if name.startswith("oracle"):
             run_inference_oracle(
                 root, pipe, uids, pred_dir, spec,
                 build_seed=args.seed, seed=args.seed + 44,
@@ -377,6 +410,10 @@ def main() -> None:
                     help="checkpoint subdir written by the train phase")
     ap.add_argument("--extra-progressive", action="store_true",
                     help="distill one more halving (8 -> 4 steps)")
+    ap.add_argument("--decoder-select-chamfer", action="store_true",
+                    help="chamfer-aware decoder checkpoint selection: eval "
+                    "with chamfer-proxy metrics, export final / chamfer-best "
+                    "/ MSE-best decoders (ckpt, ckpt_cd, ckpt_mse)")
     ap.add_argument("--report-name", type=str, default="CLOSED_LOOP.json")
     args = ap.parse_args()
 

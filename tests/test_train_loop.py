@@ -914,3 +914,141 @@ class TestBestEvalCheckpoint:
         assert marked and marked[-1] == best_step
         best_state = restore_train_state(best_path, state)
         assert int(best_state["step"]) == best_step
+
+
+class TestChamferEvalMetrics:
+    """chamfer_eval_metrics: the jittable chamfer-proxy used for
+    chamfer-aware decoder checkpoint selection (r4g)."""
+
+    @staticmethod
+    def _ref(pred: np.ndarray, target: np.ndarray) -> tuple[float, float]:
+        """Host ActionBench chamfer/motion averaged over (B, T) — the
+        oracle the device metric must match (no subsampling: n=0)."""
+        from actionbench.chamfer import (
+            compute_chamfer_score,
+            compute_motion_chamfer_score,
+        )
+
+        B, T = pred.shape[:2]
+        cds = [
+            np.mean(
+                [
+                    compute_chamfer_score(pred[b, t], target[b, t], n=0)
+                    for t in range(T)
+                ]
+            )
+            for b in range(B)
+        ]
+        motions = [compute_motion_chamfer_score(pred[b], target[b]) for b in range(B)]
+        return float(np.mean(cds)), float(np.mean(motions))
+
+    def test_matches_host_actionbench_reference(self):
+        from actionmesh_tpu.training.decoder_train import chamfer_eval_metrics
+
+        rng = np.random.default_rng(3)
+        pred = rng.uniform(-1, 1, (2, 3, 12, 3)).astype(np.float32)
+        target = rng.uniform(-1, 1, (2, 3, 12, 3)).astype(np.float32)
+        out = jax.jit(chamfer_eval_metrics)(pred, target)
+        ref_cd, ref_motion = self._ref(pred, target)
+        np.testing.assert_allclose(float(out["eval_cd"]), ref_cd, rtol=1e-5)
+        np.testing.assert_allclose(
+            float(out["eval_motion"]), ref_motion, rtol=1e-5
+        )
+
+    def test_identity_and_permutation_are_zero(self):
+        from actionmesh_tpu.training.decoder_train import chamfer_eval_metrics
+
+        rng = np.random.default_rng(0)
+        target = rng.uniform(-1, 1, (1, 4, 20, 3)).astype(np.float32)
+        out = chamfer_eval_metrics(target, target)
+        assert float(out["eval_cd"]) < 1e-5
+        assert float(out["eval_motion"]) < 1e-5
+        # a consistent per-batch point permutation is invisible to both
+        # metrics (chamfer is set-based; motion matching recovers it on
+        # frame 0 and tracks it)
+        perm = rng.permutation(20)
+        out = chamfer_eval_metrics(target[:, :, perm], target)
+        assert float(out["eval_cd"]) < 1e-5
+        assert float(out["eval_motion"]) < 1e-5
+
+    def test_single_point_translation_exact(self):
+        from actionmesh_tpu.training.decoder_train import chamfer_eval_metrics
+
+        target = np.zeros((1, 2, 1, 3), np.float32)
+        pred = target + np.array([0.25, 0.0, 0.0], np.float32)
+        out = chamfer_eval_metrics(pred, target)
+        # symmetric sums: each direction contributes the full distance
+        np.testing.assert_allclose(float(out["eval_cd"]), 0.5, rtol=1e-6)
+        np.testing.assert_allclose(float(out["eval_motion"]), 0.5, rtol=1e-6)
+
+    def test_padding_mask_excluded(self):
+        from actionmesh_tpu.training.decoder_train import chamfer_eval_metrics
+
+        rng = np.random.default_rng(7)
+        real_p = rng.uniform(-1, 1, (2, 3, 10, 3)).astype(np.float32)
+        real_g = rng.uniform(-1, 1, (2, 3, 10, 3)).astype(np.float32)
+        clean = chamfer_eval_metrics(real_p, real_g)
+        # pad with garbage rows carrying mask 0 — metrics must not move
+        pad_p = np.concatenate(
+            [real_p, 50.0 * np.ones((2, 3, 6, 3), np.float32)], axis=2
+        )
+        pad_g = np.concatenate(
+            [real_g, -50.0 * np.ones((2, 3, 6, 3), np.float32)], axis=2
+        )
+        mask = np.concatenate(
+            [np.ones((2, 10), np.float32), np.zeros((2, 6), np.float32)], axis=1
+        )
+        padded = chamfer_eval_metrics(pad_p, pad_g, mask)
+        np.testing.assert_allclose(
+            float(padded["eval_cd"]), float(clean["eval_cd"]), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            float(padded["eval_motion"]), float(clean["eval_motion"]), rtol=1e-5
+        )
+
+    def test_decoder_loop_chamfer_selection(self, decoder_data, tmp_path):
+        """run_decoder_training(eval_chamfer=True) records eval_cd /
+        eval_motion / eval_score, selects ckpt_best.npz by eval_score and
+        additionally keeps the MSE-best checkpoint."""
+        from actionmesh_tpu.models.autoencoder import AutoencoderConfig
+        from actionmesh_tpu.training.data import (
+            DecoderTrackDataset,
+            decoder_batches,
+        )
+        from actionmesh_tpu.training.loop import run_decoder_training
+
+        clips, tracks = decoder_data
+        ds = DecoderTrackDataset(clips, tracks, window=4)
+        acfg = AutoencoderConfig(
+            temporal_context_size=4,
+            latent_channels=4,
+            width=32,
+            num_layers=2,
+            num_attention_heads=4,
+        )
+        eval_b = [next(decoder_batches(ds, 2, vertex_bucket=16, seed=9))]
+        cfg = TrainLoopConfig(
+            total_steps=4, peak_lr=1e-3, warmup_steps=1, ema_decay=None,
+            log_every=1, ckpt_every=100, eval_every=2, keep_best_eval=True,
+            best_metric="eval_score", track_best_metrics=("eval_loss",),
+            out_dir=str(tmp_path / "run"), seed=0,
+        )
+        state, history = run_decoder_training(
+            acfg,
+            decoder_batches(ds, 2, vertex_bucket=16, seed=0),
+            cfg,
+            eval_batches=eval_b,
+            eval_chamfer=True,
+        )
+        evals = [h for h in history if "eval_score" in h]
+        assert evals
+        for h in evals:
+            assert {"eval_loss", "eval_cd", "eval_motion"} <= set(h)
+            np.testing.assert_allclose(
+                h["eval_score"], h["eval_cd"] + h["eval_motion"], rtol=1e-6
+            )
+        assert (tmp_path / "run" / "ckpt_best.npz").exists()
+        assert (tmp_path / "run" / "ckpt_best_eval_loss.npz").exists()
+        best_step = min(evals, key=lambda h: h["eval_score"])["step"]
+        marked = [h["step"] for h in history if h.get("best")]
+        assert marked and marked[-1] == best_step
