@@ -150,22 +150,18 @@ def _embed_points(cfg: TripoSGVAEConfig, xyz: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "attn_impl"))
-def encode_surface(
+def encode_moments(
     params: Params,
     cfg: TripoSGVAEConfig,
     surface: jnp.ndarray,
     fps_key: Optional[jax.Array] = None,
-    noise_key: Optional[jax.Array] = None,
     attn_impl: str = "auto",
-) -> jnp.ndarray:
-    """surface (B, N, 3+3) -> latent sample (B, num_tokens, latent_ch).
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """surface (B, N, 3+3) -> posterior (mean, logvar), each (B, K, C).
 
-    Mirrors the adapter's ``encode_to_latent`` (triposg.py:153-172):
-    random presample (4x tokens, triposg.py:128-133) -> FPS -> queries
-    cross-attend all points -> self-attn -> posterior sample. With
-    noise_key=None, returns the posterior mean (deterministic).
-    """
+    The differentiable encoder body shared by :func:`encode_surface`
+    (inference sampling) and the VAE trainer (training/vae_train.py needs
+    both moments for the KL term)."""
     B, N, _ = surface.shape
     xyz = surface[..., :3]
     feats = jnp.concatenate(
@@ -200,9 +196,31 @@ def encode_surface(
     x = layer_norm(params["enc_norm_out"], x)
     moments = linear(params["enc_proj_out"], x)
     mean, logvar = jnp.split(moments, 2, axis=-1)
+    return mean, jnp.clip(logvar, -30.0, 20.0)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "attn_impl"))
+def encode_surface(
+    params: Params,
+    cfg: TripoSGVAEConfig,
+    surface: jnp.ndarray,
+    fps_key: Optional[jax.Array] = None,
+    noise_key: Optional[jax.Array] = None,
+    attn_impl: str = "auto",
+) -> jnp.ndarray:
+    """surface (B, N, 3+3) -> latent sample (B, num_tokens, latent_ch).
+
+    Mirrors the adapter's ``encode_to_latent`` (triposg.py:153-172):
+    random presample (4x tokens, triposg.py:128-133) -> FPS -> queries
+    cross-attend all points -> self-attn -> posterior sample. With
+    noise_key=None, returns the posterior mean (deterministic).
+    """
+    mean, logvar = encode_moments(
+        params, cfg, surface, fps_key=fps_key, attn_impl=attn_impl
+    )
     if noise_key is None:
         return mean
-    std = jnp.exp(0.5 * jnp.clip(logvar, -30.0, 20.0))
+    std = jnp.exp(0.5 * logvar)
     return mean + std * jax.random.normal(noise_key, mean.shape, mean.dtype)
 
 

@@ -44,7 +44,14 @@ def export_for_inference(
     from actionmesh_tpu.training.flow_train import cast_params_for_compute
     from actionmesh_tpu.utils.weights import save_params
 
-    names = {"flow": "denoiser.npz", "decoder": "autoencoder.npz"}
+    names = {
+        "flow": "denoiser.npz",
+        "decoder": "autoencoder.npz",
+        # Stage-0 families (closed-loop Stage-0 extension: the trained
+        # TripoSGPipeline loads these via utils/weights.load_params)
+        "stage0_dit": "dit.npz",
+        "stage0_vae": "vae.npz",
+    }
     if stage not in names:
         raise ValueError(f"stage must be one of {sorted(names)}, got {stage!r}")
     params = state.get("ema_params") if use_ema else None

@@ -90,6 +90,15 @@ class CascadeSpec:
     # sampling
     num_inference_steps: int = 16
     guidance_scale: float = 2.0
+    # Stage-0 DiT (image -> 3D latent rectified flow; trained by the
+    # stage0 phase for the full video->4D closed loop)
+    stage0_width: int = 128
+    stage0_layers: int = 4
+    stage0_heads: int = 4
+    stage0_steps: int = 16
+    stage0_guidance: float = 2.0
+    stage0_dense_depth: int = 7
+    stage0_hier_depth: int = 8
 
     # -- derived configs ----------------------------------------------------
 
@@ -142,6 +151,19 @@ class CascadeSpec:
             width=self.decoder_width,
             num_layers=self.decoder_layers,
             num_attention_heads=self.decoder_heads,
+        )
+
+    def stage0_dit_config(self):
+        """Single-shape DiT (models/triposg/dit.py: the denoiser at T=1)."""
+        from actionmesh_tpu.models.triposg.dit import triposg_dit_config
+
+        return triposg_dit_config(
+            num_tokens=self.latent_tokens,
+            in_channels=self.latent_channels,
+            num_layers=self.stage0_layers,
+            width=self.stage0_width,
+            num_attention_heads=self.stage0_heads,
+            cross_attention_dim=self.dino_hidden,
         )
 
     def dino_config(self):
@@ -455,44 +477,252 @@ def build_dataset(
 
 
 # ---------------------------------------------------------------------------
+# Stage-0 training data (SDF ground truth + anchor clips)
+# ---------------------------------------------------------------------------
+
+
+def scene_surfaces(
+    normed: list[Mesh], spec: CascadeSpec, scene_seed: int
+) -> np.ndarray:
+    """(T, N, 6) per-frame surface samples of the normalized scene — the
+    SAME seeded draw build_dataset encodes clips from and the inference
+    pipeline's surface sampling conventions use; keep the two callers'
+    seeds in lockstep."""
+    from actionmesh_tpu.preprocessing.mesh import sample_surface
+
+    return np.stack(
+        [
+            sample_surface(
+                m,
+                n_points=spec.surface_samples,
+                seed=scene_seed + 101 + t,
+                with_normals=True,
+            )
+            for t, m in enumerate(normed)
+        ]
+    )
+
+
+def build_sdf_dataset(
+    root: str | Path,
+    spec: CascadeSpec,
+    uids: list[str],
+    build_seed: int = 0,
+    n_near: int = 3072,
+    n_uniform: int = 1024,
+    tsdf_clamp: float = 0.25,
+) -> None:
+    """Write VAE supervision per scene: root/sdf/{uid}.npz with the anchor's
+    surface samples, a near-surface + uniform query pool, and the EXACT
+    truncated signed distance (preprocessing/sdf) in normalized space."""
+    from actionmesh_tpu.preprocessing.mesh import normalize_mesh
+    from actionmesh_tpu.preprocessing.sdf import mesh_tsdf, sample_sdf_queries
+
+    root = Path(root)
+    out_dir = root / "sdf"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for uid in uids:
+        idx = int(uid.rsplit("_", 1)[1])
+        scene_seed = build_seed * 100_003 + idx
+        meshes = make_scene(scene_seed, spec)
+        anchor_n, _, _ = normalize_mesh(meshes[0])
+        pool = sample_sdf_queries(
+            anchor_n, n_near, n_uniform, seed=scene_seed + 31
+        )
+        tsdf = mesh_tsdf(pool, anchor_n, clamp=tsdf_clamp)
+        surface = scene_surfaces(
+            [anchor_n], spec, scene_seed
+        )[0]  # anchor frame only, same seeded draw as the clip encode
+        np.savez(
+            out_dir / f"{uid}.npz", surface=surface, points=pool, tsdf=tsdf
+        )
+        logger.info(
+            "sdf %s: inside frac %.2f, |tsdf| mean %.3f",
+            uid, float((tsdf < 0).mean()), float(np.abs(tsdf).mean()),
+        )
+
+
+def load_sdf_dataset(root: str | Path, uids: list[str]) -> list[dict]:
+    """Materialize SDF scene dicts for training/vae_train.sdf_batches."""
+    out = []
+    for uid in uids:
+        with np.load(Path(root) / "sdf" / f"{uid}.npz") as z:
+            out.append({k: z[k] for k in ("surface", "points", "tsdf")})
+    return out
+
+
+def reencode_clips(
+    root: str | Path, spec: CascadeSpec, vae, build_seed: int = 0
+) -> None:
+    """Rewrite clips_train/clips_eval latents through a (re)trained VAE.
+
+    The Stage-0 extension changes the latent definition from the frozen
+    random VAE to the trained one, so Stage I/II must retrain on
+    re-encoded clips. Context/framestep are reused from the existing clip
+    files (the frozen DINOv2 is unchanged); surfaces regenerate from the
+    scene seeds exactly as build_dataset drew them (scene_surfaces).
+    """
+    from actionmesh_tpu.preprocessing.mesh import normalize_mesh
+
+    root = Path(root)
+    split = json.loads((root / "split.json").read_text())
+    for split_name, clip_sub in (("train", "clips_train"), ("eval", "clips_eval")):
+        for uid in split[split_name]:
+            idx = int(uid.rsplit("_", 1)[1])
+            scene_seed = build_seed * 100_003 + idx
+            meshes = make_scene(scene_seed, spec)
+            _, center, factor = normalize_mesh(meshes[0])
+            normed = [
+                Mesh((m.vertices - center) * factor, m.faces) for m in meshes
+            ]
+            surf = scene_surfaces(normed, spec, scene_seed)
+            latents = np.asarray(vae.encode_to_latent(surf), np.float32)
+            path = root / clip_sub / f"{uid}.npz"
+            with np.load(path) as z:
+                context, framestep = z["context"], z["framestep"]
+            from actionmesh_tpu.training.data import write_clip
+
+            write_clip(path, latents=latents, context=context, framestep=framestep)
+            logger.info("re-encoded %s (%s)", uid, split_name)
+
+
+def write_stage0_clips(
+    root: str | Path, spec: CascadeSpec, vae, uids: list[str]
+) -> None:
+    """Anchor-only (T=1) clips for Stage-0 DiT flow training: latent =
+    trained-VAE posterior MEAN of the anchor surface, context = the
+    anchor frame's stored DINOv2 features (bitwise the conditioning the
+    inference DiT receives — pipeline preprocesses before Stage 0)."""
+    from actionmesh_tpu.training.data import write_clip
+
+    root = Path(root)
+    out_dir = root / "clips_stage0"
+    out_dir.mkdir(exist_ok=True)
+    for uid in uids:
+        with np.load(root / "sdf" / f"{uid}.npz") as z:
+            surface = z["surface"]
+        clip = root / "clips_train" / f"{uid}.npz"
+        if not clip.exists():
+            clip = root / "clips_eval" / f"{uid}.npz"
+        with np.load(clip) as z:
+            context = z["context"][:1]
+        latent = np.asarray(
+            vae.encode_to_latent(surface[None]), np.float32
+        )  # (1, K, C): posterior mean (MeanEncodeVAE)
+        write_clip(
+            out_dir / f"{uid}.npz",
+            latents=latent,
+            context=context,
+            framestep=np.zeros((1,), np.float32),
+        )
+
+
+# ---------------------------------------------------------------------------
 # Inference pipeline assembly
 # ---------------------------------------------------------------------------
+
+
+class Stage0Adapter:
+    """ImageTo3D adapter over a trained TripoSGPipeline with pinned
+    extraction depths (the pipeline's stage_0 config carries steps and
+    guidance; depth stays a spec choice at this scale)."""
+
+    def __init__(self, pipeline, dense_depth: int, hier_depth: int):
+        self.pipeline = pipeline
+        self.dense_depth = dense_depth
+        self.hier_depth = hier_depth
+
+    def __call__(self, image, seed=44, num_inference_steps=16, guidance_scale=2.0):
+        return self.pipeline(
+            image,
+            seed=seed,
+            num_inference_steps=num_inference_steps,
+            guidance_scale=guidance_scale,
+            dense_octree_depth=self.dense_depth,
+            hierarchical_octree_depth=self.hier_depth,
+        )
+
+
+def make_trained_stage0(
+    spec: CascadeSpec, stage0_dir: str | Path, image_encoder=None
+):
+    """Trained TripoSGPipeline (dit.npz + vae.npz from the stage0 phase)."""
+    import jax.numpy as jnp
+
+    from actionmesh_tpu.models.triposg.pipeline import TripoSGPipeline
+    from actionmesh_tpu.utils.weights import load_params
+
+    stage0_dir = Path(stage0_dir)
+    if image_encoder is None:
+        image_encoder, _ = make_conditioning_stack(spec)
+    return TripoSGPipeline(
+        dit_params=load_params(stage0_dir / "dit.npz"),
+        vae_params=load_params(stage0_dir / "vae.npz"),
+        image_encoder=image_encoder,
+        dit_cfg=spec.stage0_dit_config(),
+        vae_cfg=spec.vae_config(),
+        dtype=jnp.float32,
+        attn_impl="chunked",
+    )
 
 
 def make_pipeline(
     spec: CascadeSpec,
     ckpt_dir: Optional[str | Path] = None,
     extra_updates: Optional[dict] = None,
+    stage0_dir: Optional[str | Path] = None,
+    video_mode: bool = False,
 ):
-    """Build the REAL {video+3D} pipeline at the spec's tiny scale.
+    """Build the REAL pipeline at the spec's tiny scale.
 
-    The frozen conditioning stack (tiny DINOv2 + mean-encode VAE) replaces
-    the production backends; Stage I/II params are random init unless
-    ``ckpt_dir`` points at exported native checkpoints
-    (training/checkpoint.export_for_inference output).
+    Default: the {video+3D} pipeline with the frozen conditioning stack
+    (tiny DINOv2 + mean-encode random VAE) — Stage I/II params random
+    unless ``ckpt_dir`` points at exported native checkpoints.
+
+    ``stage0_dir``: use the TRAINED Stage-0 stack instead of the frozen
+    one — the trained VAE becomes the encode path (mean) and, with
+    ``video_mode=True``, the plain video->4D ActionMeshPipeline is built
+    with the trained TripoSGPipeline as its image_to_3d backend (the
+    reference's MAIN entry, ref:inference/video_to_animated_mesh.py).
     """
     import jax.numpy as jnp
 
     from actionmesh_tpu.models.stage0 import StubImageTo3D
+    from actionmesh_tpu.pipeline import ActionMeshPipeline
     from actionmesh_tpu.pipeline_with_3d import ActionMeshPipelineWithMeshInput
 
     updates = spec.pipeline_updates()
+    if stage0_dir is not None:
+        updates["stage_0.num_inference_steps"] = spec.stage0_steps
+        updates["stage_0.guidance_scale"] = spec.stage0_guidance
     if extra_updates:
         updates.update(extra_updates)
-    pipe = ActionMeshPipelineWithMeshInput(
+    common = dict(
         config_name="actionmesh",
         weights_dir=None,
         config_updates=updates,
         dtype=jnp.float32,
-        surface_samples=spec.surface_samples,
         device_mesh=None,
     )
+    if video_mode:
+        pipe = ActionMeshPipeline(**common)
+    else:
+        pipe = ActionMeshPipelineWithMeshInput(
+            surface_samples=spec.surface_samples, **common
+        )
     image_encoder, vae = make_conditioning_stack(spec)
     pipe.image_encoder = image_encoder
-    pipe.image_to_3d = StubImageTo3D(
-        latent_shape=(spec.latent_tokens, spec.latent_channels)
-    )
-    pipe.vae = vae
+    if stage0_dir is not None:
+        trained = make_trained_stage0(spec, stage0_dir, image_encoder)
+        pipe.vae = MeanEncodeVAE(trained)
+        pipe.image_to_3d = Stage0Adapter(
+            trained, spec.stage0_dense_depth, spec.stage0_hier_depth
+        )
+    else:
+        pipe.vae = vae
+        pipe.image_to_3d = StubImageTo3D(
+            latent_shape=(spec.latent_tokens, spec.latent_channels)
+        )
     if ckpt_dir is not None:
         pipe.load_native(ckpt_dir)
     return pipe
@@ -532,6 +762,33 @@ def run_inference(
         for t, m in enumerate(meshes):
             m.export(pred / f"mesh_{t:02d}.glb")
         logger.info("inferred %s: %d meshes", uid, len(meshes))
+
+
+def run_inference_video(
+    root: str | Path,
+    pipe,
+    uids: list[str],
+    out_dir: str | Path,
+    spec: CascadeSpec,
+    seed: int = 44,
+) -> None:
+    """Drive the MAIN video->4D entry on each held-out scene: Stage 0
+    generates the anchor mesh + latent from the anchor frame alone (no
+    ground-truth 3D input anywhere). Outputs live in the pipeline's
+    normalized space; ActionBench's rigid+scale ICP absorbs the frame
+    difference (ref:actionbench/icp.py:52-112)."""
+    root, out_dir = Path(root), Path(out_dir)
+    for uid in uids:
+        video = load_video(root, uid, spec)
+        meshes = pipe(video, seed=seed)
+        pred = out_dir / uid
+        pred.mkdir(parents=True, exist_ok=True)
+        for t, m in enumerate(meshes):
+            m.export(pred / f"mesh_{t:02d}.glb")
+        logger.info(
+            "video->4D inferred %s: %d meshes, anchor %d verts",
+            uid, len(meshes), len(meshes[0].vertices),
+        )
 
 
 def evaluate_predictions(

@@ -454,6 +454,71 @@ def run_decoder_training(
     )
 
 
+def run_vae_training(
+    model_cfg,
+    batches: Iterator[dict],
+    cfg: TrainLoopConfig,
+    *,
+    params=None,
+    kl_weight: float = 1e-4,
+    attn_impl: str = "auto",
+    on_log: Optional[Callable[[dict], None]] = None,
+    eval_batches: Optional[list[dict]] = None,
+) -> tuple[dict, list[dict]]:
+    """Train the TripoSG vecset VAE with TSDF supervision
+    (training/vae_train.py; batches carry surface/points/tsdf pools).
+    Same loop/IO contract as run_flow_training; held-out eval reports the
+    TSDF MSE (posterior mean, deterministic FPS)."""
+    from actionmesh_tpu.models.triposg.vae import init_triposg_vae
+    from actionmesh_tpu.training.vae_train import make_vae_train_step, vae_loss
+
+    if params is None:
+        params = init_triposg_vae(jax.random.key(cfg.seed), model_cfg)
+    optimizer = make_optimizer(cfg)
+    state = init_train_state(params, optimizer, None, ema_decay=None)
+    ckpt = _latest_ckpt(Path(cfg.out_dir)) if cfg.resume else None
+    if ckpt is not None:
+        state = restore_train_state(ckpt, state)
+    step_fn = make_vae_train_step(
+        model_cfg, optimizer, kl_weight=kl_weight, attn_impl=attn_impl
+    )
+
+    eval_fn = None
+    if eval_batches:
+
+        @jax.jit
+        def eval_mse(eval_params, batch, key):
+            _, parts = vae_loss(
+                eval_params, model_cfg, batch, key,
+                kl_weight=kl_weight, sample_posterior=False,
+                attn_impl=attn_impl,
+            )
+            return parts["mse"]
+
+        held_out = [jax.tree.map(jnp.asarray, b) for b in eval_batches]
+        eval_key = jax.random.key(cfg.seed + 1)
+
+        def eval_fn(current_state: dict) -> float:
+            losses = [
+                eval_mse(
+                    current_state["params"], b, jax.random.fold_in(eval_key, i)
+                )
+                for i, b in enumerate(held_out)
+            ]
+            return float(sum(float(l) for l in losses) / len(losses))
+
+    return _run_loop(
+        state,
+        step_fn,
+        batches,
+        cfg,
+        needs_key=True,
+        mesh=None,
+        on_log=on_log,
+        eval_fn=eval_fn,
+    )
+
+
 def run_distillation(
     model_cfg: DenoiserConfig,
     teacher_params,

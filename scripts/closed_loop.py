@@ -31,10 +31,29 @@ logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
 logger = logging.getLogger("closed_loop")
 
 
-def phase_build(root: Path, args) -> None:
-    from actionmesh_tpu.training.closed_loop import CascadeSpec, build_dataset
+def _spec_from_args(args):
+    """CascadeSpec with optional --spec key=value overrides."""
+    from actionmesh_tpu.training.closed_loop import CascadeSpec
 
-    spec = CascadeSpec()
+    def parse(v: str):
+        for cast in (int, float):
+            try:
+                return cast(v)
+            except ValueError:
+                continue
+        return v
+
+    overrides = {}
+    for kv in getattr(args, "spec", None) or []:
+        k, v = kv.split("=", 1)
+        overrides[k] = parse(v)
+    return CascadeSpec(**overrides)
+
+
+def phase_build(root: Path, args) -> None:
+    from actionmesh_tpu.training.closed_loop import build_dataset
+
+    spec = _spec_from_args(args)
     t0 = time.time()
     uids = build_dataset(
         root, spec, n_train=args.n_train, n_eval=args.n_eval, seed=args.seed
@@ -66,6 +85,171 @@ def _best_or_final(state, train_dir: Path):
         logger.info("exporting best-eval checkpoint %s", best)
         return restore_train_state(best, state)
     return state
+
+
+def phase_stage0(root: Path, args) -> None:
+    """Train Stage 0 from scratch: VAE on exact anchor TSDF, then the
+    image->latent DiT on trained-VAE anchor latents; finally re-encode the
+    Stage-I clips so the whole cascade shares one latent definition.
+
+    After this phase, `train` retrains Stage I/II on the new latents and
+    `eval --variants video` drives the MAIN video->4D entry end-to-end."""
+    import jax.numpy as jnp
+
+    from actionmesh_tpu.models.triposg.pipeline import TripoSGPipeline
+    from actionmesh_tpu.training.checkpoint import export_for_inference
+    from actionmesh_tpu.training.closed_loop import (
+        CascadeSpec,
+        MeanEncodeVAE,
+        build_sdf_dataset,
+        load_sdf_dataset,
+        make_conditioning_stack,
+        reencode_clips,
+        write_stage0_clips,
+    )
+    from actionmesh_tpu.training.data import ClipWindowDataset, flow_batches
+    from actionmesh_tpu.training.loop import (
+        TrainLoopConfig,
+        run_flow_training,
+        run_vae_training,
+    )
+    from actionmesh_tpu.training.vae_train import sdf_batches
+
+    spec = CascadeSpec.load(root / "spec.json")
+    split = json.loads((root / "split.json").read_text())
+    ckpt_dir = root / "ckpt_stage0"
+
+    # -- 1. exact-TSDF supervision pools -----------------------------------
+    t0 = time.time()
+    build_sdf_dataset(
+        root, spec, split["train"] + split["eval"], build_seed=args.seed
+    )
+    logger.info("sdf pools: %.0fs", time.time() - t0)
+
+    # -- 2. VAE: TSDF regression + KL ---------------------------------------
+    train_scenes = load_sdf_dataset(root, split["train"])
+    eval_scenes = load_sdf_dataset(root, split["eval"])
+    q = args.vae_query_points
+    vcfg = TrainLoopConfig(
+        total_steps=args.vae_steps,
+        peak_lr=args.lr,
+        warmup_steps=min(200, args.vae_steps // 10),
+        ema_decay=None,
+        eval_every=max(1, args.vae_steps // 20),
+        keep_best_eval=True,
+        log_every=50,
+        ckpt_every=max(100, args.vae_steps // 4),
+        out_dir=str(root / "train_vae"),
+        seed=args.seed,
+    )
+    eval_b = list(
+        sdf_batches(eval_scenes, len(eval_scenes), q, seed=123, epochs=1)
+    )
+    t0 = time.time()
+    vstate, vlogs = run_vae_training(
+        spec.vae_config(),
+        sdf_batches(train_scenes, args.batch, q, seed=args.seed),
+        vcfg,
+        kl_weight=args.kl_weight,
+        attn_impl="chunked",
+        eval_batches=eval_b,
+    )
+    vstate = _best_or_final(vstate, root / "train_vae")
+    export_for_inference(
+        vstate, ckpt_dir, stage="stage0_vae", compute_dtype=None
+    )
+    evals = [l for l in vlogs if "eval_loss" in l]
+    logger.info(
+        "vae: %d steps in %.0fs; eval TSDF MSE %s -> %s",
+        args.vae_steps, time.time() - t0,
+        f"{evals[0]['eval_loss']:.5f}" if evals else "n/a",
+        f"{min(l['eval_loss'] for l in evals):.5f}" if evals else "n/a",
+    )
+    (root / "train_vae_log.json").write_text(json.dumps(vlogs))
+
+    # -- 3. re-encode clips + anchor latents through the trained VAE --------
+    image_encoder, _ = make_conditioning_stack(spec)
+    trained = TripoSGPipeline(
+        dit_params=None,  # not needed for encode
+        vae_params=vstate["params"],
+        image_encoder=image_encoder,
+        dit_cfg=spec.stage0_dit_config(),
+        vae_cfg=spec.vae_config(),
+        dtype=jnp.float32,
+        attn_impl="chunked",
+    )
+    vae = MeanEncodeVAE(trained)
+    t0 = time.time()
+    reencode_clips(root, spec, vae, build_seed=args.seed)
+    write_stage0_clips(root, spec, vae, split["train"] + split["eval"])
+    logger.info("re-encode: %.0fs", time.time() - t0)
+
+    # -- 4. Stage-0 DiT: image -> anchor-latent rectified flow --------------
+    ds = ClipWindowDataset(root / "clips_stage0", window=1)
+    # hold out the eval scenes' anchors for DiT eval loss
+    eval_uids = set(split["eval"])
+    train_idx = [
+        i for i, w in enumerate(ds._windows) if w.clip.stem not in eval_uids
+    ]
+    eval_idx = [
+        i for i, w in enumerate(ds._windows) if w.clip.stem in eval_uids
+    ]
+    train_view = _DatasetView(ds, train_idx)
+    eval_view = _DatasetView(ds, eval_idx)
+    dit_cfg_loop = TrainLoopConfig(
+        total_steps=args.dit_steps,
+        peak_lr=args.lr,
+        warmup_steps=min(200, args.dit_steps // 10),
+        ema_decay=0.999,
+        p_uncond=0.1,
+        eval_every=max(1, args.dit_steps // 20),
+        keep_best_eval=True,
+        log_every=50,
+        ckpt_every=max(100, args.dit_steps // 4),
+        out_dir=str(root / "train_dit"),
+        seed=args.seed,
+    )
+    deval_b = _eval_batches(
+        lambda: flow_batches(
+            eval_view, min(args.batch, len(eval_idx)), seed=123,
+            n_cond_frames=0, epochs=1,
+        ),
+        args.eval_batches,
+    )
+    t0 = time.time()
+    dstate, dlogs = run_flow_training(
+        spec.stage0_dit_config(),
+        flow_batches(train_view, args.batch, seed=args.seed, n_cond_frames=0),
+        dit_cfg_loop,
+        eval_batches=deval_b,
+    )
+    dstate = _best_or_final(dstate, root / "train_dit")
+    export_for_inference(
+        dstate, ckpt_dir, stage="stage0_dit", compute_dtype=None
+    )
+    devals = [l for l in dlogs if "eval_loss" in l]
+    logger.info(
+        "stage0 dit: %d steps in %.0fs; eval flow loss %s -> %s",
+        args.dit_steps, time.time() - t0,
+        f"{devals[0]['eval_loss']:.4f}" if devals else "n/a",
+        f"{min(l['eval_loss'] for l in devals):.4f}" if devals else "n/a",
+    )
+    (root / "train_dit_log.json").write_text(json.dumps(dlogs))
+
+
+class _DatasetView:
+    """Index-subset view over a ClipWindowDataset (split by uid)."""
+
+    def __init__(self, ds, indices):
+        self._ds = ds
+        self._indices = indices
+        self.window = ds.window
+
+    def __len__(self):
+        return len(self._indices)
+
+    def __getitem__(self, i):
+        return self._ds[self._indices[i]]
 
 
 def phase_train(root: Path, args) -> None:
@@ -312,6 +496,10 @@ VARIANTS = {
     "trained_mse": ("ckpt_mse", {}),
     "random": (None, {}),
     "trained": ("ckpt", {}),
+    # the MAIN video->4D entry: Stage 0 generates the anchor (trained DiT +
+    # VAE from the stage0 phase); requires ckpt_stage0 to exist.
+    "video": ("ckpt", {}),
+    "video_random": (None, {}),
     "trained_short": ("ckpt_short", {}),
     "trained_best": ("ckpt_best", {}),  # best-held-out-eval export
     # final-step flow + best-eval decoder (the decoder is what overfits)
@@ -342,10 +530,15 @@ def phase_eval(root: Path, args) -> dict:
         make_pipeline,
         run_inference,
         run_inference_oracle,
+        run_inference_video,
     )
 
     spec = CascadeSpec.load(root / "spec.json")
     uids = json.loads((root / "split.json").read_text())["eval"]
+    # once the stage0 phase has run, every variant conditions through the
+    # TRAINED VAE (the clips were re-encoded with it)
+    stage0_dir = root / "ckpt_stage0"
+    stage0_dir = stage0_dir if stage0_dir.exists() else None
     report = {}
     for name in args.variants.split(","):
         ckpt_sub, extra = VARIANTS[name]
@@ -354,9 +547,17 @@ def phase_eval(root: Path, args) -> dict:
             logger.warning("variant %s: no checkpoint at %s — skipped", name, ckpt)
             continue
         t0 = time.time()
-        pipe = make_pipeline(spec, ckpt_dir=ckpt, extra_updates=extra)
+        video_mode = name.startswith("video")
+        pipe = make_pipeline(
+            spec, ckpt_dir=ckpt, extra_updates=extra,
+            stage0_dir=stage0_dir, video_mode=video_mode,
+        )
         pred_dir = root / f"pred_{name}"
-        if name.startswith("oracle"):
+        if video_mode:
+            run_inference_video(
+                root, pipe, uids, pred_dir, spec, seed=args.seed + 44
+            )
+        elif name.startswith("oracle"):
             run_inference_oracle(
                 root, pipe, uids, pred_dir, spec,
                 build_seed=args.seed, seed=args.seed + 44,
@@ -393,7 +594,10 @@ def phase_eval(root: Path, args) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("phase", choices=["build", "train", "distill", "eval", "all"])
+    ap.add_argument(
+        "phase",
+        choices=["build", "stage0", "train", "distill", "eval", "all"],
+    )
     ap.add_argument("--root", type=str, default="/tmp/closed_loop")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--n-train", type=int, default=48)
@@ -403,6 +607,12 @@ def main() -> None:
     ap.add_argument("--flow-steps", type=int, default=4000)
     ap.add_argument("--decoder-steps", type=int, default=4000)
     ap.add_argument("--distill-steps", type=int, default=1500)
+    ap.add_argument("--vae-steps", type=int, default=3000)
+    ap.add_argument("--dit-steps", type=int, default=2000)
+    ap.add_argument("--vae-query-points", type=int, default=1024)
+    ap.add_argument("--kl-weight", type=float, default=1e-4)
+    ap.add_argument("--spec", action="append", default=[],
+                    help="CascadeSpec field override key=value (build phase)")
     ap.add_argument("--eval-batches", type=int, default=4)
     ap.add_argument("--icp-iters", type=int, default=200)
     ap.add_argument("--variants", type=str, default="random,trained")
@@ -420,6 +630,8 @@ def main() -> None:
     root = Path(args.root)
     if args.phase in ("build", "all"):
         phase_build(root, args)
+    if args.phase == "stage0":
+        phase_stage0(root, args)
     if args.phase in ("train", "all"):
         phase_train(root, args)
     if args.phase == "distill":

@@ -218,3 +218,151 @@ def test_closed_loop_end_to_end(tmp_path):
 
     report = json.loads(Path(root / "spec.json").read_text())
     assert report["n_frames"] == spec.n_frames
+
+
+class TestSdfGroundTruth:
+    """preprocessing/sdf: exact TSDF supervision for the Stage-0 VAE."""
+
+    def test_sphere_analytic(self):
+        from actionmesh_tpu.models.stage0 import make_uv_sphere
+        from actionmesh_tpu.preprocessing.sdf import mesh_tsdf
+
+        m = make_uv_sphere(radius=0.6, n_lat=32, n_lon=48)
+        rng = np.random.default_rng(0)
+        pts = rng.uniform(-1.0, 1.0, (400, 3)).astype(np.float32)
+        sdf = mesh_tsdf(pts, m, clamp=10.0)
+        analytic = np.linalg.norm(pts, axis=1) - 0.6
+        # error bounded by the mesh's chordal deviation from the sphere
+        np.testing.assert_allclose(sdf, analytic, atol=5e-3)
+        # sign convention: NEGATIVE inside (ops/isosurface `< level`)
+        inside = np.linalg.norm(pts, axis=1) < 0.55
+        assert (sdf[inside] < 0).all()
+
+    def test_clamp_and_query_pool(self):
+        from actionmesh_tpu.models.stage0 import make_uv_sphere
+        from actionmesh_tpu.preprocessing.sdf import (
+            mesh_tsdf,
+            sample_sdf_queries,
+        )
+
+        m = make_uv_sphere(radius=0.5, n_lat=16, n_lon=24)
+        pool = sample_sdf_queries(m, n_near=200, n_uniform=100, seed=3)
+        assert pool.shape == (300, 3)
+        assert np.abs(pool[200:]).max() <= 1.1  # uniform part bounded
+        sdf = mesh_tsdf(pool, m, clamp=0.2)
+        assert np.abs(sdf).max() <= 0.2 + 1e-6
+        # near-surface points concentrate near the zero crossing
+        assert np.abs(sdf[:200]).mean() < 0.06
+
+    def test_scene_mesh_consistency(self):
+        """On a deformed scene mesh (non-sphere): winding sign agrees with
+        the surface-offset construction — points nudged inward along the
+        normal are inside, outward are outside."""
+        from actionmesh_tpu.preprocessing.mesh import normalize_mesh
+        from actionmesh_tpu.preprocessing.sdf import mesh_tsdf
+
+        spec = dataclasses.replace(MICRO, n_frames=4)
+        anchor, _, _ = normalize_mesh(make_scene(7, spec)[0])
+        nrm, areas = anchor.face_normals_and_areas()
+        centers = anchor.vertices[anchor.faces].mean(axis=1)
+        keep = areas > np.quantile(areas, 0.5)  # avoid degenerate slivers
+        c, n = centers[keep][:100], nrm[keep][:100]
+        eps = 0.02
+        sdf_in = mesh_tsdf((c - eps * n).astype(np.float32), anchor)
+        sdf_out = mesh_tsdf((c + eps * n).astype(np.float32), anchor)
+        assert (sdf_in < 0).mean() > 0.95
+        assert (sdf_out > 0).mean() > 0.95
+        np.testing.assert_allclose(np.abs(sdf_in), eps, atol=eps * 0.6)
+
+
+class TestVaeTraining:
+    """training/vae_train: TSDF-supervised vecset-VAE training."""
+
+    def _sphere_batch(self, B=2, N=128, Q=96, radius=0.6, seed=0):
+        from actionmesh_tpu.models.stage0 import make_uv_sphere
+        from actionmesh_tpu.preprocessing.sdf import (
+            mesh_tsdf,
+            sample_sdf_queries,
+        )
+
+        m = make_uv_sphere(radius=radius, n_lat=12, n_lon=16)
+        rng = np.random.default_rng(seed)
+        surf, pts, tsdf = [], [], []
+        for b in range(B):
+            _, areas = m.face_normals_and_areas()
+            cdf = np.cumsum(areas) / areas.sum()
+            fid = np.searchsorted(cdf, rng.random(N))
+            u, v = rng.random(N), rng.random(N)
+            fl = u + v > 1
+            u[fl], v[fl] = 1 - u[fl], 1 - v[fl]
+            w = 1 - u - v
+            tri = m.vertices[m.faces[fid]]
+            p = (
+                u[:, None] * tri[:, 0]
+                + v[:, None] * tri[:, 1]
+                + w[:, None] * tri[:, 2]
+            )
+            nrm, _ = m.face_normals_and_areas()
+            surf.append(np.concatenate([p, nrm[fid]], 1).astype(np.float32))
+            pool = sample_sdf_queries(m, Q // 2, Q - Q // 2, seed=seed + b)
+            pts.append(pool)
+            tsdf.append(mesh_tsdf(pool, m))
+        return {
+            "surface": np.stack(surf),
+            "points": np.stack(pts),
+            "tsdf": np.stack(tsdf),
+        }
+
+    def test_loss_finite_and_decreases(self):
+        import jax
+        import optax
+
+        from actionmesh_tpu.models.triposg.vae import (
+            TripoSGVAEConfig,
+            init_triposg_vae,
+        )
+        from actionmesh_tpu.training.flow_train import init_train_state
+        from actionmesh_tpu.training.vae_train import (
+            make_vae_train_step,
+            vae_loss,
+        )
+
+        cfg = TripoSGVAEConfig(
+            latent_channels=4, num_tokens=8,
+            encoder_width=32, encoder_layers=1, encoder_heads=2,
+            decoder_width=32, decoder_layers=1, decoder_heads=2,
+        )
+        params = init_triposg_vae(jax.random.key(0), cfg)
+        batch = self._sphere_batch()
+        loss0, parts = vae_loss(
+            params, cfg, batch, jax.random.key(1), attn_impl="chunked"
+        )
+        assert np.isfinite(float(loss0))
+        assert float(parts["kl"]) >= 0
+        opt = optax.adam(3e-3)
+        state = init_train_state(params, opt)
+        step = make_vae_train_step(cfg, opt, attn_impl="chunked")
+        for i in range(12):
+            state, loss = step(state, batch, jax.random.key(10 + i))
+        # overfit trend on a fixed batch
+        assert float(loss) < float(loss0)
+
+    def test_sdf_batches_layout(self):
+        from actionmesh_tpu.training.vae_train import sdf_batches
+
+        scenes = [
+            {
+                "surface": np.zeros((16, 6), np.float32),
+                "points": np.arange(3 * 60, dtype=np.float32).reshape(60, 3),
+                "tsdf": np.arange(60, dtype=np.float32),
+            }
+            for _ in range(3)
+        ]
+        b = next(sdf_batches(scenes, 2, 20, seed=0))
+        assert b["surface"].shape == (2, 16, 6)
+        assert b["points"].shape == (2, 20, 3)
+        assert b["tsdf"].shape == (2, 20)
+        # query subsample keeps points/tsdf paired
+        np.testing.assert_allclose(b["points"][..., 0], b["tsdf"] * 3)
+        with pytest.raises(ValueError):
+            next(sdf_batches(scenes, 5, 20))
