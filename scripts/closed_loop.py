@@ -548,28 +548,38 @@ def phase_eval(root: Path, args) -> dict:
             continue
         t0 = time.time()
         video_mode = name.startswith("video")
-        pipe = make_pipeline(
-            spec, ckpt_dir=ckpt, extra_updates=extra,
-            stage0_dir=stage0_dir, video_mode=video_mode,
-        )
-        pred_dir = root / f"pred_{name}"
-        if video_mode:
-            run_inference_video(
-                root, pipe, uids, pred_dir, spec, seed=args.seed + 44
+        # Fault-isolate each variant: a single scene that produces a
+        # degenerate mesh (e.g. an empty isosurface from a weakly trained
+        # Stage-0 anchor) must not abort the remaining variants of a
+        # multi-hour eval.
+        try:
+            pipe = make_pipeline(
+                spec, ckpt_dir=ckpt, extra_updates=extra,
+                stage0_dir=stage0_dir, video_mode=video_mode,
             )
-        elif name.startswith("oracle"):
-            run_inference_oracle(
-                root, pipe, uids, pred_dir, spec,
-                build_seed=args.seed, seed=args.seed + 44,
+            pred_dir = root / f"pred_{name}"
+            if video_mode:
+                run_inference_video(
+                    root, pipe, uids, pred_dir, spec, seed=args.seed + 44
+                )
+            elif name.startswith("oracle"):
+                run_inference_oracle(
+                    root, pipe, uids, pred_dir, spec,
+                    build_seed=args.seed, seed=args.seed + 44,
+                )
+            else:
+                run_inference(
+                    root, pipe, uids, pred_dir, spec, seed=args.seed + 44
+                )
+            t_infer = time.time() - t0
+            t0 = time.time()
+            metrics = evaluate_predictions(
+                root, pred_dir, root / f"results_{name}.csv",
+                icp_iters=args.icp_iters,
             )
-        else:
-            run_inference(root, pipe, uids, pred_dir, spec, seed=args.seed + 44)
-        t_infer = time.time() - t0
-        t0 = time.time()
-        metrics = evaluate_predictions(
-            root, pred_dir, root / f"results_{name}.csv",
-            icp_iters=args.icp_iters,
-        )
+        except Exception:
+            logger.exception("variant %s FAILED — continuing", name)
+            continue
         metrics["infer_seconds"] = round(t_infer, 1)
         metrics["eval_seconds"] = round(time.time() - t0, 1)
         report[name] = metrics
