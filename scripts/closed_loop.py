@@ -19,6 +19,7 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+import shutil
 import sys
 import time
 from pathlib import Path
@@ -85,6 +86,22 @@ def _best_or_final(state, train_dir: Path):
         logger.info("exporting best-eval checkpoint %s", best)
         return restore_train_state(best, state)
     return state
+
+
+def _invalidate_stale_train_state(root: Path) -> None:
+    """Remove Stage-I/II train state fit to a superseded latent definition.
+
+    Re-encoding the clips (stage0 phase) changes what the latents MEAN:
+    any train_flow*/train_decoder* directory under the root was fit to the
+    old latents, and the resumable train loop would silently resume from
+    (and immediately finish at) its final step instead of retraining."""
+    for stale in sorted(root.glob("train_flow*")) + sorted(
+        root.glob("train_decoder*")
+    ):
+        if stale.is_dir():
+            shutil.rmtree(stale)
+            logger.info("removed stale train state %s (latents re-encoded)",
+                        stale.name)
 
 
 def phase_stage0(root: Path, args) -> None:
@@ -183,6 +200,7 @@ def phase_stage0(root: Path, args) -> None:
     reencode_clips(root, spec, vae, build_seed=args.seed)
     write_stage0_clips(root, spec, vae, split["train"] + split["eval"])
     logger.info("re-encode: %.0fs", time.time() - t0)
+    _invalidate_stale_train_state(root)
 
     # -- 4. Stage-0 DiT: image -> anchor-latent rectified flow --------------
     ds = ClipWindowDataset(root / "clips_stage0", window=1)
