@@ -538,6 +538,25 @@ VARIANTS = {
             "cf_guidance.guidance_scales": [],
         },
     ),
+    # distilled students through the MAIN video->4D entry (Stage-0
+    # generated anchor + guidance-free short sampling — the fastest
+    # serving configuration, quality-scored end-to-end).
+    "video_distilled": (
+        "ckpt_distilled",
+        {
+            "scheduler.num_inference_steps": 8,
+            "cf_guidance.guidance_at_inference": [[1, 1]],
+            "cf_guidance.guidance_scales": [],
+        },
+    ),
+    "video_distilled4": (
+        "ckpt_distilled4",
+        {
+            "scheduler.num_inference_steps": 4,
+            "cf_guidance.guidance_at_inference": [[1, 1]],
+            "cf_guidance.guidance_scales": [],
+        },
+    ),
 }
 
 

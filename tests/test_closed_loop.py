@@ -366,3 +366,26 @@ class TestVaeTraining:
         np.testing.assert_allclose(b["points"][..., 0], b["tsdf"] * 3)
         with pytest.raises(ValueError):
             next(sdf_batches(scenes, 5, 20))
+
+
+def test_variants_config_updates_are_schema_valid():
+    """Every closed-loop VARIANTS config-update dict must name real config
+    keys: a typo'd key should fail HERE, not 30 minutes into a TPU eval.
+    load_config raises KeyError on unknown dotted paths (config.py
+    _apply_updates), so composing each variant's extras over the MICRO
+    spec's pipeline updates exercises the same merge phase_eval runs."""
+    from actionmesh_tpu.config import load_config
+    from scripts.closed_loop import VARIANTS
+
+    base = MICRO.pipeline_updates()
+    assert VARIANTS, "VARIANTS registry is empty"
+    for name, (ckpt_sub, extra) in VARIANTS.items():
+        cfg = load_config("actionmesh", updates={**base, **extra})
+        steps = extra.get(
+            "scheduler.num_inference_steps", MICRO.num_inference_steps
+        )
+        assert cfg.scheduler.num_inference_steps == steps, name
+        # video-mode variants must reference an exported checkpoint dir
+        # (only "video_random" runs weightless)
+        if name.startswith("video") and name != "video_random":
+            assert ckpt_sub is not None, name
