@@ -32,6 +32,10 @@ def main() -> None:
         "--video", type=str,
         default="/root/reference/assets/examples/davis_camel",
     )
+    ap.add_argument(
+        "--set", action="append", default=[], metavar="KEY=VALUE",
+        help="dotted config override, e.g. stage_0.num_inference_steps=50",
+    )
     args = ap.parse_args()
 
     import numpy as np
@@ -40,7 +44,14 @@ def main() -> None:
     from actionmesh_tpu.pipeline import ActionMeshPipeline
 
     inp = load_frames(args.video, max_frames=args.frames)
-    pipe = ActionMeshPipeline(config_name=args.preset, weights_dir=None)
+    updates = {}
+    for kv in args.set:
+        key, _, raw = kv.partition("=")
+        updates[key] = json.loads(raw)
+    pipe = ActionMeshPipeline(
+        config_name=args.preset, weights_dir=None,
+        config_updates=updates or None,
+    )
 
     results = {}
     for label in ("cold", "warm"):
@@ -56,6 +67,7 @@ def main() -> None:
         "metric": f"e2e_{args.preset}_seconds",
         "frames": args.frames,
         "stage_1_steps": args.steps,
+        "overrides": updates,
         "stage0": "real TripoSG (random weights, dev regularizer)",
         "cold_s": results["cold"],
         "warm_s": results["warm"],
