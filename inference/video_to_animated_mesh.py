@@ -155,14 +155,23 @@ def main():
     )
     args = parser.parse_args()
 
-    if args.distilled4:
+    if args.distilled4 and args.fast:
+        config_name = "actionmesh_distilled4_fast"
+        logger.info(
+            "Distilled-4 + fast Stage 0 (50 steps): the fastest validated "
+            "serving configuration (expects a three-round distilled "
+            "checkpoint)."
+        )
+        if args.low_ram or args.distilled:
+            logger.warning("--distilled4 --fast overrides --low_ram/--distilled.")
+    elif args.distilled4:
         config_name = "actionmesh_distilled4"
         logger.info(
             "Distilled-4 preset: 4 guidance-free Stage-I steps (expects a "
             "three-round distilled checkpoint)."
         )
-        if args.fast or args.low_ram or args.distilled:
-            logger.warning("--distilled4 overrides --fast/--low_ram/--distilled.")
+        if args.low_ram or args.distilled:
+            logger.warning("--distilled4 overrides --low_ram/--distilled.")
     elif args.distilled:
         config_name = "actionmesh_distilled"
         logger.info(

@@ -218,3 +218,32 @@ def test_distilled_preset_runs_guidance_free():
     for m in meshes:
         assert np.array_equal(m.faces, topo)
         assert np.isfinite(m.vertices).all()
+
+
+def test_all_presets_load_and_compose():
+    """Every YAML preset in configs/ resolves through `defaults`
+    composition with schema-valid keys; spot-check the operating points
+    each preset exists for (step counts, guidance shape)."""
+    from actionmesh_tpu.config import CONFIG_DIR, load_config
+
+    presets = sorted(p.stem for p in CONFIG_DIR.glob("*.yaml"))
+    assert len(presets) >= 7, presets
+    cfgs = {name: load_config(name) for name in presets}
+
+    assert cfgs["actionmesh"].scheduler.num_inference_steps == 30
+    assert cfgs["actionmesh"].stage_0.num_inference_steps == 100
+    assert cfgs["actionmesh_fast"].scheduler.num_inference_steps == 15
+    assert cfgs["actionmesh_fast"].stage_0.num_inference_steps == 50
+    for name, steps in (
+        ("actionmesh_distilled", 8),
+        ("actionmesh_distilled4", 4),
+        ("actionmesh_distilled4_fast", 4),
+    ):
+        cfg = cfgs[name]
+        assert cfg.scheduler.num_inference_steps == steps, name
+        # guidance-free: single [[1,1]] branch, no scales
+        assert list(cfg.cf_guidance.guidance_at_inference) == [[1, 1]], name
+        assert list(cfg.cf_guidance.guidance_scales) == [], name
+    assert cfgs["actionmesh_distilled4_fast"].stage_0.num_inference_steps == 50
+    # distilled4 inherits the BASE (quality) Stage 0
+    assert cfgs["actionmesh_distilled4"].stage_0.num_inference_steps == 100
