@@ -66,8 +66,34 @@ def _flow_sample(
 
     Under a device mesh, the CFG pair rides the dp axis and attention
     heads shard over tp (same scheme as Stage I's denoise_window).
+
+    ``guidance_scale=None`` (static) selects the guidance-free path for
+    distilled checkpoints: ONE conditional forward per Euler step — the
+    CFG batch pair disappears, exactly mirroring Stage I's distilled
+    ``guidance_at_inference [[1, 1]]`` sampling (training/distill.py).
     """
     B = init_noise.shape[0]
+    if guidance_scale is None:
+
+        def step(latents, inputs):
+            t, dist = inputs
+            dt = jnp.full((B,), t, latents.dtype)
+            v = triposg_dit_forward(
+                dit_params, dit_cfg, latents, context, dt,
+                attn_impl=attn_impl, mesh=mesh,
+            )
+            return latents + dist * v, None
+
+        final, _ = jax.lax.scan(
+            step,
+            init_noise,
+            (
+                timesteps[:-1].astype(init_noise.dtype),
+                distances.astype(init_noise.dtype),
+            ),
+        )
+        return final
+
     context_g = jnp.concatenate([jnp.zeros_like(context), context], axis=0)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -301,7 +327,13 @@ class TripoSGPipeline:
         dense_octree_depth: int = 8,
         hierarchical_octree_depth: int = 9,
     ) -> tuple[jnp.ndarray, Mesh]:
-        """Generate (latents (1, K, C), mesh) from one image."""
+        """Generate (latents (1, K, C), mesh) from one image.
+
+        ``guidance_scale <= 0`` selects guidance-free sampling (one
+        conditional forward per step) — the serving mode for a
+        guidance-distilled Stage-0 checkpoint (config knob
+        ``stage_0.guidance_scale: 0``).
+        """
         context = self.image_encoder.encode_images([image])  # (1, S, Dc)
         key = jax.random.PRNGKey(seed)
         noise = jax.random.normal(
@@ -327,7 +359,9 @@ class TripoSGPipeline:
                 context.astype(self._dtype),
                 jnp.asarray(ts[done : done + seg + 1]),
                 jnp.asarray(dist[done : done + seg]),
-                guidance_scale=float(guidance_scale),
+                guidance_scale=(
+                    None if guidance_scale <= 0 else float(guidance_scale)
+                ),
                 attn_impl=self._attn_impl,
                 mesh=self.device_mesh,
             )

@@ -139,6 +139,11 @@ def main():
         help="Distilled-4 preset (4 guidance-free Stage-I steps); requires "
         "a three-round distilled checkpoint (guidance -> halve -> halve).")
     parser.add_argument(
+        "--turbo", action="store_true",
+        help="Turbo preset: BOTH stages distilled — 4-step guidance-free "
+        "Stage I + 25-step guidance-free Stage 0; requires distilled "
+        "checkpoints for both stages (scripts/closed_loop.py distill-stage0).")
+    parser.add_argument(
         "--dtype", type=str, choices=["bfloat16", "float16", "float32"],
         default="bfloat16",
     )
@@ -155,7 +160,16 @@ def main():
     )
     args = parser.parse_args()
 
-    if args.distilled4 and args.fast:
+    if args.turbo:
+        config_name = "actionmesh_turbo"
+        logger.info(
+            "Turbo preset: 4-step guidance-free Stage I + 25-step "
+            "guidance-free Stage 0 (expects distilled checkpoints for "
+            "both stages)."
+        )
+        if args.fast or args.low_ram or args.distilled or args.distilled4:
+            logger.warning("--turbo overrides the other preset flags.")
+    elif args.distilled4 and args.fast:
         config_name = "actionmesh_distilled4_fast"
         logger.info(
             "Distilled-4 + fast Stage 0 (50 steps): the fastest validated "

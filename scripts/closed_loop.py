@@ -501,8 +501,109 @@ def phase_distill(root: Path, args) -> None:
         )
 
 
+def phase_distill_stage0(root: Path, args) -> None:
+    """Distill the trained Stage-0 DiT: guidance round (CFG pair -> one
+    conditional forward), then progressive halvings of the anchor
+    sampler's Euler steps (spec.stage0_steps 16 -> 8 -> 4).
+
+    The TripoSG DiT IS the Stage-I denoiser at T=1 (models/triposg/dit.py),
+    so training/distill.py's recipes apply verbatim over the clips_stage0
+    windows (single-frame anchor latents, n_cond_frames=0). Exports
+    ckpt_stage0_distilled8 (one halving) and ckpt_stage0_distilled (two),
+    each with the stage0 VAE alongside, so `eval --variants video_turbo`
+    can build the fully distilled serving cascade (actionmesh_turbo)."""
+    import shutil
+
+    from actionmesh_tpu.training.checkpoint import export_for_inference
+    from actionmesh_tpu.training.closed_loop import CascadeSpec
+    from actionmesh_tpu.training.data import ClipWindowDataset, flow_batches
+    from actionmesh_tpu.training.loop import TrainLoopConfig, run_distillation
+    from actionmesh_tpu.utils.weights import load_params
+
+    spec = CascadeSpec.load(root / "spec.json")
+    split = json.loads((root / "split.json").read_text())
+    teacher = load_params(root / "ckpt_stage0" / "dit.npz")
+    ds = ClipWindowDataset(root / "clips_stage0", window=1)
+    eval_uids = set(split["eval"])
+    train_idx = [
+        i for i, w in enumerate(ds._windows) if w.clip.stem not in eval_uids
+    ]
+    train_view = _DatasetView(ds, train_idx)
+
+    def make_batches(seed):
+        return flow_batches(
+            train_view, min(args.batch, len(train_idx)), seed=seed,
+            n_cond_frames=0,
+        )
+
+    def loop_cfg(out_name, steps):
+        return TrainLoopConfig(
+            total_steps=steps,
+            peak_lr=args.lr / 2,
+            warmup_steps=min(100, steps // 10),
+            ema_decay=0.999,
+            log_every=50,
+            ckpt_every=max(100, steps // 2),
+            out_dir=str(root / out_name),
+            seed=args.seed,
+        )
+
+    def export(state, name):
+        out = root / name
+        export_for_inference(
+            state, out, stage="stage0_dit", compute_dtype=None
+        )
+        shutil.copy(root / "ckpt_stage0" / "vae.npz", out / "vae.npz")
+
+    dit_cfg = spec.stage0_dit_config()
+    # Round 1: guidance distillation at the spec's anchor CFG scale
+    t0 = time.time()
+    state, _ = run_distillation(
+        dit_cfg, teacher, make_batches(args.seed),
+        loop_cfg("s0distill_guidance", args.distill_steps),
+        mode="guidance", guidance_scale=spec.stage0_guidance,
+    )
+    student = state.get("ema_params", state["params"])
+    logger.info("stage0 guidance distill: %.0fs", time.time() - t0)
+
+    # Round 2: progressive halving (stage0_steps -> /2)
+    t0 = time.time()
+    state, _ = run_distillation(
+        dit_cfg, student, make_batches(args.seed + 1),
+        loop_cfg("s0distill_progressive8", args.distill_steps),
+        mode="progressive", num_teacher_steps=spec.stage0_steps,
+        teacher_guidance_scale=None,
+    )
+    export(state, "ckpt_stage0_distilled8")
+    student = state.get("ema_params", state["params"])
+    logger.info("stage0 progressive /2: %.0fs", time.time() - t0)
+
+    # Round 3: one more halving (/2 -> /4)
+    t0 = time.time()
+    state, _ = run_distillation(
+        dit_cfg, student, make_batches(args.seed + 2),
+        loop_cfg("s0distill_progressive4", args.distill_steps),
+        mode="progressive", num_teacher_steps=spec.stage0_steps // 2,
+        teacher_guidance_scale=None,
+    )
+    export(state, "ckpt_stage0_distilled")
+    logger.info("stage0 progressive /4: %.0fs", time.time() - t0)
+
+
+# Stage-I distilled sampling: 4 or 8 guidance-free Euler steps.
+_S1_DISTILLED = {
+    "cf_guidance.guidance_at_inference": [[1, 1]],
+    "cf_guidance.guidance_scales": [],
+}
+# Stage-0 distilled sampling (actionmesh_turbo semantics at closed-loop
+# scale): guidance-free anchor generation at spec.stage0_steps/4 = 4.
+_S0_DISTILLED = {
+    "stage_0.num_inference_steps": 4,
+    "stage_0.guidance_scale": 0.0,
+}
+
 VARIANTS = {
-    # name -> (ckpt subdir or None, extra config updates)
+    # name -> (ckpt subdir or None, extra config updates[, stage0 subdir])
     # "oracle" feeds ground-truth latents to the trained decoder
     # (closed_loop.run_inference_oracle) — the Stage-II-only ablation.
     "oracle": ("ckpt", {}),
@@ -524,38 +625,41 @@ VARIANTS = {
     "trained_mixed": ("ckpt_mixed", {}),
     "distilled": (
         "ckpt_distilled",
-        {
-            "scheduler.num_inference_steps": 8,
-            "cf_guidance.guidance_at_inference": [[1, 1]],
-            "cf_guidance.guidance_scales": [],
-        },
+        {"scheduler.num_inference_steps": 8, **_S1_DISTILLED},
     ),
     "distilled4": (
         "ckpt_distilled4",
-        {
-            "scheduler.num_inference_steps": 4,
-            "cf_guidance.guidance_at_inference": [[1, 1]],
-            "cf_guidance.guidance_scales": [],
-        },
+        {"scheduler.num_inference_steps": 4, **_S1_DISTILLED},
     ),
     # distilled students through the MAIN video->4D entry (Stage-0
     # generated anchor + guidance-free short sampling — the fastest
     # serving configuration, quality-scored end-to-end).
     "video_distilled": (
         "ckpt_distilled",
-        {
-            "scheduler.num_inference_steps": 8,
-            "cf_guidance.guidance_at_inference": [[1, 1]],
-            "cf_guidance.guidance_scales": [],
-        },
+        {"scheduler.num_inference_steps": 8, **_S1_DISTILLED},
     ),
     "video_distilled4": (
         "ckpt_distilled4",
+        {"scheduler.num_inference_steps": 4, **_S1_DISTILLED},
+    ),
+    # Stage-0 distillation ablation: TEACHER Stage I, distilled anchor
+    # generator (isolates the distilled Stage 0's quality effect).
+    "video_s0distilled": (
+        "ckpt",
+        dict(_S0_DISTILLED),
+        "ckpt_stage0_distilled",
+    ),
+    # the actionmesh_turbo serving configuration at closed-loop scale:
+    # BOTH stages distilled — 4-step guidance-free Stage I + 4-step
+    # guidance-free Stage 0 — through the MAIN video->4D entry.
+    "video_turbo": (
+        "ckpt_distilled4",
         {
             "scheduler.num_inference_steps": 4,
-            "cf_guidance.guidance_at_inference": [[1, 1]],
-            "cf_guidance.guidance_scales": [],
+            **_S1_DISTILLED,
+            **_S0_DISTILLED,
         },
+        "ckpt_stage0_distilled",
     ),
 }
 
@@ -574,14 +678,23 @@ def phase_eval(root: Path, args) -> dict:
     uids = json.loads((root / "split.json").read_text())["eval"]
     # once the stage0 phase has run, every variant conditions through the
     # TRAINED VAE (the clips were re-encoded with it)
-    stage0_dir = root / "ckpt_stage0"
-    stage0_dir = stage0_dir if stage0_dir.exists() else None
+    default_stage0 = root / "ckpt_stage0"
+    default_stage0 = default_stage0 if default_stage0.exists() else None
     report = {}
     for name in args.variants.split(","):
-        ckpt_sub, extra = VARIANTS[name]
+        ckpt_sub, extra, *rest = VARIANTS[name]
+        # optional third element: a variant-specific Stage-0 checkpoint
+        # (e.g. the distilled anchor generator) instead of ckpt_stage0
+        stage0_dir = root / rest[0] if rest else default_stage0
         ckpt = root / ckpt_sub if ckpt_sub else None
         if ckpt is not None and not ckpt.exists():
             logger.warning("variant %s: no checkpoint at %s — skipped", name, ckpt)
+            continue
+        if rest and not Path(stage0_dir).exists():
+            logger.warning(
+                "variant %s: no stage0 checkpoint at %s — skipped",
+                name, stage0_dir,
+            )
             continue
         t0 = time.time()
         video_mode = name.startswith("video")
@@ -643,7 +756,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "phase",
-        choices=["build", "stage0", "train", "distill", "eval", "all"],
+        choices=[
+            "build", "stage0", "train", "distill", "distill-stage0",
+            "eval", "all",
+        ],
     )
     ap.add_argument("--root", type=str, default="/tmp/closed_loop")
     ap.add_argument("--seed", type=int, default=0)
@@ -683,6 +799,8 @@ def main() -> None:
         phase_train(root, args)
     if args.phase == "distill":
         phase_distill(root, args)
+    if args.phase == "distill-stage0":
+        phase_distill_stage0(root, args)
     if args.phase in ("eval", "all"):
         phase_eval(root, args)
 

@@ -368,6 +368,115 @@ class TestVaeTraining:
             next(sdf_batches(scenes, 5, 20))
 
 
+@pytest.mark.slow
+def test_stage0_distill_to_turbo_video_entry(tmp_path):
+    """Stage-0 distillation feeds the fully distilled (turbo) serving path:
+    distill a T=1 Stage-0 DiT (guidance round, then one progressive
+    halving) with the SAME recipes Stage I uses, export it as a Stage-0
+    checkpoint, and drive the MAIN video->4D entry with guidance-free
+    short Stage-0 sampling (stage_0.guidance_scale=0) — the
+    actionmesh_turbo composition at micro scale."""
+    import jax
+
+    from actionmesh_tpu.models.triposg.dit import init_triposg_dit
+    from actionmesh_tpu.models.triposg.vae import init_triposg_vae
+    from actionmesh_tpu.training.checkpoint import export_for_inference
+    from actionmesh_tpu.training.closed_loop import (
+        make_pipeline,
+        run_inference_video,
+    )
+    from actionmesh_tpu.training.loop import TrainLoopConfig, run_distillation
+    from actionmesh_tpu.utils.weights import save_params
+
+    spec = dataclasses.replace(
+        MICRO,
+        stage0_width=48,
+        stage0_layers=2,
+        stage0_heads=2,
+        stage0_steps=4,
+        stage0_dense_depth=4,
+        stage0_hier_depth=5,
+    )
+    root = tmp_path / "loop"
+    uids = build_dataset(root, spec, n_train=1, n_eval=1, seed=0)
+
+    # a "trained" Stage-0 stack (random at micro scale: the quality of the
+    # teacher is not under test, the distill->export->serve chain is)
+    dit_cfg = spec.stage0_dit_config()
+    kd, kv = jax.random.split(jax.random.PRNGKey(3))
+    teacher = init_triposg_dit(kd, dit_cfg)
+    s0_dir = root / "ckpt_stage0"
+    s0_dir.mkdir(parents=True)
+    save_params(teacher, s0_dir / "dit.npz")
+    save_params(init_triposg_vae(kv, spec.vae_config()), s0_dir / "vae.npz")
+
+    # synthetic anchor-latent batches in the flow_batches T=1 layout
+    def batches(seed):
+        rng = np.random.default_rng(seed)
+        while True:
+            yield {
+                "latents": rng.normal(
+                    size=(2, 1, spec.latent_tokens, spec.latent_channels)
+                ).astype(np.float32),
+                "context": rng.normal(
+                    size=(2, 1, 6, spec.dino_hidden)
+                ).astype(np.float32),
+                "framestep": np.zeros((2, 1), np.float32),
+                "mask": np.zeros((2, 1), np.float32),
+            }
+
+    def loop_cfg(name):
+        return TrainLoopConfig(
+            total_steps=4, peak_lr=1e-4, warmup_steps=1, log_every=2,
+            ckpt_every=100, out_dir=str(root / name), seed=0,
+        )
+
+    state, logs = run_distillation(
+        dit_cfg, teacher, batches(0), loop_cfg("s0g"),
+        mode="guidance", guidance_scale=spec.stage0_guidance,
+        attn_impl="chunked",
+    )
+    assert np.isfinite(logs[-1]["loss"])
+    state, logs = run_distillation(
+        dit_cfg, state["ema_params"], batches(1), loop_cfg("s0p"),
+        mode="progressive", num_teacher_steps=spec.stage0_steps,
+        teacher_guidance_scale=None, attn_impl="chunked",
+    )
+    assert np.isfinite(logs[-1]["loss"])
+    distilled_dir = root / "ckpt_stage0_distilled"
+    export_for_inference(
+        state, distilled_dir, stage="stage0_dit", compute_dtype=None
+    )
+    import shutil
+
+    shutil.copy(s0_dir / "vae.npz", distilled_dir / "vae.npz")
+
+    # the turbo composition: guidance-free short Stage-0 sampling through
+    # the MAIN entry (Stage I/II random — serving plumbing under test)
+    pipe = make_pipeline(
+        spec,
+        ckpt_dir=None,
+        extra_updates={
+            "stage_0.num_inference_steps": spec.stage0_steps // 2,
+            "stage_0.guidance_scale": 0.0,
+        },
+        stage0_dir=distilled_dir,
+        video_mode=True,
+    )
+    assert pipe.cfg.stage_0.guidance_scale == 0.0
+    # the served DiT is the distilled export, not the teacher
+    got = jax.tree.leaves(pipe.image_to_3d.pipeline.dit_params)[0]
+    want = jax.tree.leaves(state["ema_params"])[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0)
+    run_inference_video(root, pipe, uids["eval"], root / "pred", spec, seed=5)
+    uid = uids["eval"][0]
+    files = sorted((root / "pred" / uid).glob("mesh_*.glb"))
+    assert len(files) == spec.n_frames, (
+        "video->4D with the distilled Stage 0 produced no meshes "
+        "(run_inference_video swallows per-scene failures; see log)"
+    )
+
+
 def test_variants_config_updates_are_schema_valid():
     """Every closed-loop VARIANTS config-update dict must name real config
     keys: a typo'd key should fail HERE, not 30 minutes into a TPU eval.
@@ -379,7 +488,7 @@ def test_variants_config_updates_are_schema_valid():
 
     base = MICRO.pipeline_updates()
     assert VARIANTS, "VARIANTS registry is empty"
-    for name, (ckpt_sub, extra) in VARIANTS.items():
+    for name, (ckpt_sub, extra, *stage0_sub) in VARIANTS.items():
         cfg = load_config("actionmesh", updates={**base, **extra})
         steps = extra.get(
             "scheduler.num_inference_steps", MICRO.num_inference_steps
@@ -389,3 +498,8 @@ def test_variants_config_updates_are_schema_valid():
         # (only "video_random" runs weightless)
         if name.startswith("video") and name != "video_random":
             assert ckpt_sub is not None, name
+        # Stage-0-distilled variants: guidance-free anchor sampling and a
+        # dedicated distilled Stage-0 checkpoint subdir
+        if "stage_0.guidance_scale" in extra:
+            assert extra["stage_0.guidance_scale"] == 0.0, name
+            assert stage0_sub and stage0_sub[0].startswith("ckpt_stage0"), name

@@ -247,3 +247,9 @@ def test_all_presets_load_and_compose():
     assert cfgs["actionmesh_distilled4_fast"].stage_0.num_inference_steps == 50
     # distilled4 inherits the BASE (quality) Stage 0
     assert cfgs["actionmesh_distilled4"].stage_0.num_inference_steps == 100
+    # turbo: both stages distilled — guidance-free Stage 0 at 25 steps
+    turbo = cfgs["actionmesh_turbo"]
+    assert turbo.scheduler.num_inference_steps == 4
+    assert turbo.stage_0.num_inference_steps == 25
+    assert turbo.stage_0.guidance_scale == 0.0
+    assert list(turbo.cf_guidance.guidance_at_inference) == [[1, 1]]

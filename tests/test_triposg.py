@@ -111,6 +111,45 @@ class TestPipeline:
         assert latent.shape == (1, 16, 8)
         assert latent.dtype == jnp.float32
 
+    def test_guidance_free_sampling_equals_cfg_scale_one(self, tiny_pipeline):
+        """The distilled serving path (guidance_scale=None: ONE conditional
+        forward per Euler step) must integrate the same trajectory as the
+        CFG path at scale 1.0, where uncond + 1*(cond - uncond) == cond —
+        pinning that the no-CFG scan drops the batch pair without changing
+        the velocity field it integrates."""
+        from actionmesh_tpu.models.triposg.pipeline import _flow_sample
+        from actionmesh_tpu.sampling.flow_schedule import get_schedule
+
+        rng = np.random.default_rng(5)
+        noise = jnp.asarray(rng.normal(size=(1, 16, 8)), jnp.float32)
+        context = jnp.asarray(rng.normal(size=(1, 12, 16)), jnp.float32)
+        ts, dist = get_schedule(4, 1000, 3.0)
+        kw = dict(
+            dit_cfg=tiny_pipeline.dit_cfg,
+            init_noise=noise,
+            context=context,
+            timesteps=jnp.asarray(ts),
+            distances=jnp.asarray(dist),
+            attn_impl="naive",
+        )
+        free = _flow_sample(
+            tiny_pipeline.dit_params, guidance_scale=None, **kw
+        )
+        cfg1 = _flow_sample(
+            tiny_pipeline.dit_params, guidance_scale=1.0, **kw
+        )
+        np.testing.assert_allclose(
+            np.asarray(free), np.asarray(cfg1), atol=1e-5, rtol=1e-5
+        )
+        # and the config knob maps 0 -> guidance-free in __call__
+        img = Image.fromarray(np.zeros((64, 64, 3), np.uint8))
+        latents, _ = tiny_pipeline(
+            img, seed=3, num_inference_steps=2, guidance_scale=0.0,
+            dense_octree_depth=4, hierarchical_octree_depth=5,
+        )
+        assert latents.shape == (1, 16, 8)
+        assert np.isfinite(np.asarray(latents)).all()
+
 
 class TestGridFastPath:
     """Single-dispatch device grid eval == chunked host-callback path.
