@@ -55,6 +55,14 @@ def build_args() -> argparse.ArgumentParser:
         "--stage", choices=("flow", "decoder", "distill"), default="flow"
     )
     p.add_argument(
+        "--model", choices=("denoiser", "stage0"), default="denoiser",
+        help="flow/distill stages: the Stage-I temporal denoiser (default) "
+        "or the Stage-0 TripoSG DiT (T=1 anchor-latent windows, teacher "
+        "dit.npz, exports dit.npz) — e.g. --stage distill --model stage0 "
+        "produces the guidance-free short-schedule Stage-0 checkpoint the "
+        "actionmesh_turbo preset serves",
+    )
+    p.add_argument(
         "--distill-mode",
         choices=("guidance", "progressive"),
         default="guidance",
@@ -158,9 +166,25 @@ def build_args() -> argparse.ArgumentParser:
     return p
 
 
-def flow_model_config(size: str):
+def flow_model_config(size: str, model: str = "denoiser"):
     from actionmesh_tpu.models.denoiser import DenoiserConfig
 
+    if model == "stage0":
+        # The Stage-0 TripoSG DiT is the denoiser at T=1 (models/triposg/
+        # dit.py) — the same flow/distill machinery trains it over
+        # single-frame anchor-latent windows.
+        from actionmesh_tpu.models.triposg.dit import triposg_dit_config
+
+        if size == "production":
+            return triposg_dit_config()
+        return triposg_dit_config(
+            num_tokens=8,
+            in_channels=4,
+            num_layers=3,
+            num_attention_heads=4,
+            width=32,
+            cross_attention_dim=16,
+        )
     if size == "production":
         return DenoiserConfig()
     return DenoiserConfig(
@@ -283,7 +307,12 @@ def main(argv=None) -> int:
             synthesize_clip_dir,
         )
 
-        model_cfg = flow_model_config(args.size)
+        model_cfg = flow_model_config(args.size, args.model)
+        # Stage-0 DiT: single-frame windows, no conditioning prefix (an
+        # anchor latent has no banked frames to condition on)
+        if args.model == "stage0":
+            args.window = 1
+        n_cond = 0 if args.model == "stage0" else 1
         if args.synthetic:
             data_dir = synthesize_clip_dir(
                 Path(tempfile.mkdtemp(prefix="am_synth_clips_")),
@@ -307,7 +336,10 @@ def main(argv=None) -> int:
             )
             eval_set = list(
                 itertools.islice(
-                    flow_batches(eval_ds, min(args.batch, len(eval_ds)), seed=0, epochs=1),
+                    flow_batches(
+                        eval_ds, min(args.batch, len(eval_ds)), seed=0,
+                        epochs=1, n_cond_frames=n_cond,
+                    ),
                     args.eval_batches,
                 )
             )
@@ -317,7 +349,9 @@ def main(argv=None) -> int:
             f"{args.steps} steps -> {args.out}"
             + (f", eval on {len(eval_set)} held-out batches" if eval_set else "")
         )
-        batches = flow_batches(dataset, args.batch, seed=args.seed)
+        batches = flow_batches(
+            dataset, args.batch, seed=args.seed, n_cond_frames=n_cond
+        )
         if args.stage == "distill":
             import jax
 
@@ -326,7 +360,10 @@ def main(argv=None) -> int:
             if args.teacher:
                 from actionmesh_tpu.utils.weights import load_params
 
-                teacher = load_params(Path(args.teacher) / "denoiser.npz")
+                teacher_file = (
+                    "dit.npz" if args.model == "stage0" else "denoiser.npz"
+                )
+                teacher = load_params(Path(args.teacher) / teacher_file)
             elif args.synthetic:
                 from actionmesh_tpu.models.denoiser import init_denoiser
 
@@ -429,10 +466,13 @@ def main(argv=None) -> int:
     if args.export_inference:
         from actionmesh_tpu.training.checkpoint import export_for_inference
 
+        stage_name = "flow" if args.stage == "distill" else args.stage
+        if args.model == "stage0" and stage_name == "flow":
+            stage_name = "stage0_dit"
         out = export_for_inference(
             state,
             args.export_inference,
-            stage="flow" if args.stage == "distill" else args.stage,
+            stage=stage_name,
         )
         print(f"exported inference checkpoint: {out}")
 

@@ -301,6 +301,35 @@ class TestTrainingLoop:
 
         assert train_cli.main(["--stage", "flow"]) == 2
 
+    def test_cli_stage0_distill_synthetic(self, tmp_path, capsys):
+        """--model stage0: the Stage-0 TripoSG DiT distills through the
+        same CLI (T=1 windows, no conditioning prefix, exports dit.npz —
+        the checkpoint shape the actionmesh_turbo preset serves)."""
+        import scripts.train as train_cli
+
+        rc = train_cli.main(
+            [
+                "--stage", "distill",
+                "--model", "stage0",
+                "--distill-mode", "guidance",
+                "--synthetic",
+                "--size", "tiny",
+                "--steps", "3",
+                "--batch", "2",
+                "--log-every", "1",
+                "--out", str(tmp_path / "cli_s0d"),
+                "--export-inference", str(tmp_path / "ckpt_s0"),
+            ]
+        )
+        assert rc == 0
+        assert "done: step 3" in capsys.readouterr().out
+        assert (tmp_path / "ckpt_s0" / "dit.npz").exists()
+        # the exported tree round-trips through the Stage-0 loader shape
+        from actionmesh_tpu.utils.weights import load_params
+
+        params = load_params(tmp_path / "ckpt_s0" / "dit.npz")
+        assert "proj_in" in params
+
 
 class TestShardedLoop:
     def test_sharded_loop_matches_unsharded(self, clip_dir, tmp_path):
