@@ -31,7 +31,11 @@ class SchedulerConfig:
     num_train_timesteps: int = 1000
     shift: float = 3.0
     is_additive: bool = True
-    split_cfg_batch: bool = False  # accepted for parity; TPU shards instead
+    # Sequentialize the CFG guidance branches (reference scheduler.py
+    # low-RAM mode): honored by sampling/denoise_loop.py — halves peak
+    # activation memory on a single chip. On a multi-chip mesh the dp
+    # axis shards the branches instead, which is strictly better.
+    split_cfg_batch: bool = False
     # Steps per compiled launch: bounds device time per XLA program (the
     # axon tunnel kills multi-minute programs) and shares one compiled
     # program across all full segments.

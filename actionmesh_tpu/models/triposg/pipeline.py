@@ -74,6 +74,18 @@ def _flow_sample(
     """
     B = init_noise.shape[0]
     if guidance_scale is None:
+        # Guidance-free path: batch is 1 (no CFG pair), so the dp axis is
+        # deliberately idle — only tp head sharding inside
+        # triposg_dit_forward applies under a mesh. Replicate explicitly so
+        # GSPMD doesn't infer a degenerate batch partition; the turbo
+        # preset's multichip speedup comes from sharded SDF grid decode,
+        # not DiT data parallelism (BENCH_NOTES r4l).
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            init_noise = jax.lax.with_sharding_constraint(
+                init_noise, NamedSharding(mesh, P())
+            )
 
         def step(latents, inputs):
             t, dist = inputs

@@ -128,8 +128,13 @@ def main():
     parser.add_argument("--blender_path", type=str, default=None)
     parser.add_argument("--fast", action="store_true",
                         help="Fast preset (stage_0=50, stage_1=15).")
-    parser.add_argument("--low_ram", action="store_true",
-                        help="Low-RAM preset (CFG batch chunking).")
+    parser.add_argument(
+        "--low_ram", action="store_true",
+        help="Low-RAM preset: runs the CFG guidance branches sequentially "
+        "(split_cfg_batch), halving peak activation memory. The "
+        "reference's weight lazy-loading half is a no-op on TPU (weights "
+        "stay HBM-resident in bf16; there is no CPU<->GPU residency "
+        "dance to elide).")
     parser.add_argument(
         "--distilled", action="store_true",
         help="Distilled preset (8 guidance-free Stage-I steps); requires a "

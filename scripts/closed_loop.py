@@ -596,9 +596,12 @@ _S1_DISTILLED = {
     "cf_guidance.guidance_scales": [],
 }
 # Stage-0 distilled sampling (actionmesh_turbo semantics at closed-loop
-# scale): guidance-free anchor generation at spec.stage0_steps/4 = 4.
+# scale): guidance-free anchor generation at spec.stage0_steps//4 Euler
+# steps. The step count is a None sentinel here and resolved from the
+# run's spec inside phase_eval, so --spec stage0_steps=N overrides eval
+# the distilled student at the matching step count.
 _S0_DISTILLED = {
-    "stage_0.num_inference_steps": 4,
+    "stage_0.num_inference_steps": None,  # -> max(1, spec.stage0_steps // 4)
     "stage_0.guidance_scale": 0.0,
 }
 
@@ -683,6 +686,11 @@ def phase_eval(root: Path, args) -> dict:
     report = {}
     for name in args.variants.split(","):
         ckpt_sub, extra, *rest = VARIANTS[name]
+        extra = dict(extra)
+        # ckpt_stage0_distilled is produced by two progressive halvings
+        # (stage0_steps -> //4); resolve its eval step count from the spec.
+        if extra.get("stage_0.num_inference_steps", "unset") is None:
+            extra["stage_0.num_inference_steps"] = max(1, spec.stage0_steps // 4)
         # optional third element: a variant-specific Stage-0 checkpoint
         # (e.g. the distilled anchor generator) instead of ckpt_stage0
         stage0_dir = root / rest[0] if rest else default_stage0

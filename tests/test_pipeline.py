@@ -253,3 +253,10 @@ def test_all_presets_load_and_compose():
     assert turbo.stage_0.num_inference_steps == 25
     assert turbo.stage_0.guidance_scale == 0.0
     assert list(turbo.cf_guidance.guidance_at_inference) == [[1, 1]]
+    # --low_ram is honest: the lowram presets actually turn on the
+    # sequential-CFG path (sampling/denoise_loop.py split_cfg_batch, the
+    # real single-chip memory lever); the non-lowram presets leave it off.
+    assert cfgs["actionmesh_lowram"].scheduler.split_cfg_batch is True
+    assert cfgs["actionmesh_fast_lowram"].scheduler.split_cfg_batch is True
+    assert cfgs["actionmesh_fast_lowram"].scheduler.num_inference_steps == 15
+    assert cfgs["actionmesh"].scheduler.split_cfg_batch is False
