@@ -234,25 +234,33 @@ def convert_rmbg_weights(state: dict[str, np.ndarray]) -> Params:
             "bias": jnp.asarray(b),
         }
 
-    params: Params = {"conv_in": fold("conv_in", None)}
-    for name, kind, _, _, _ in _STAGES + _DSTAGES:
-        h = _RSU_HEIGHT[kind]
-        sub: Params = {
-            "rebnconvin": fold(
-                f"{name}.rebnconvin.conv_s1", f"{name}.rebnconvin.bn_s1"
-            )
-        }
-        for i in range(1, h + 1):
-            sub[f"rebnconv{i}"] = fold(
-                f"{name}.rebnconv{i}.conv_s1", f"{name}.rebnconv{i}.bn_s1"
-            )
-        for i in range(h - 1, 0, -1):
-            sub[f"rebnconv{i}d"] = fold(
-                f"{name}.rebnconv{i}d.conv_s1", f"{name}.rebnconv{i}d.bn_s1"
-            )
-        params[name] = sub
-    for i in range(1, 7):
-        params[f"side{i}"] = fold(f"side{i}", None)
+    try:
+        params: Params = {"conv_in": fold("conv_in", None)}
+        for name, kind, _, _, _ in _STAGES + _DSTAGES:
+            h = _RSU_HEIGHT[kind]
+            sub: Params = {
+                "rebnconvin": fold(
+                    f"{name}.rebnconvin.conv_s1", f"{name}.rebnconvin.bn_s1"
+                )
+            }
+            for i in range(1, h + 1):
+                sub[f"rebnconv{i}"] = fold(
+                    f"{name}.rebnconv{i}.conv_s1", f"{name}.rebnconv{i}.bn_s1"
+                )
+            for i in range(h - 1, 0, -1):
+                sub[f"rebnconv{i}d"] = fold(
+                    f"{name}.rebnconv{i}d.conv_s1", f"{name}.rebnconv{i}d.bn_s1"
+                )
+            params[name] = sub
+        for i in range(1, 7):
+            params[f"side{i}"] = fold(f"side{i}", None)
+    except KeyError as e:
+        from actionmesh_tpu.utils.weights import describe_state_dict
+
+        raise KeyError(
+            f"RMBG key mapping mismatch: missing {e}.\n"
+            "Checkpoint structure:\n" + describe_state_dict(state)
+        ) from e
     return params
 
 

@@ -28,28 +28,59 @@ logger = logging.getLogger(__name__)
 # safetensors loading (sharded or single-file)
 # ---------------------------------------------------------------------------
 
-def load_safetensors_dir(path: Path) -> dict[str, np.ndarray]:
-    """Load all *.safetensors under `path` (handles HF shard indexes)."""
+def load_safetensors_dir(path: Path, check_finite: bool = True) -> dict[str, np.ndarray]:
+    """Load all *.safetensors under `path` (handles HF shard indexes).
+
+    With ``check_finite`` (default), every float tensor is scanned for
+    inf/nan on load — fp16 checkpoints (TripoSG ships fp16,
+    ref:actionmesh/external/triposg.py:140-142) can carry overflowed values
+    that would otherwise surface only as silent garbage after conversion.
+    """
     from safetensors.numpy import load_file
 
     path = Path(path)
     if path.is_file():
-        return dict(load_file(str(path)))
-    index = path / "model.safetensors.index.json"
-    files: list[Path]
-    if index.exists():
-        shard_names = sorted(
-            set(json.loads(index.read_text())["weight_map"].values())
-        )
-        files = [path / name for name in shard_names]
+        state = dict(load_file(str(path)))
     else:
-        files = sorted(path.glob("*.safetensors"))
-    if not files:
-        raise FileNotFoundError(f"No safetensors files under {path}")
-    state: dict[str, np.ndarray] = {}
-    for f in files:
-        state.update(load_file(str(f)))
+        index = path / "model.safetensors.index.json"
+        files: list[Path]
+        if index.exists():
+            shard_names = sorted(
+                set(json.loads(index.read_text())["weight_map"].values())
+            )
+            files = [path / name for name in shard_names]
+        else:
+            files = sorted(path.glob("*.safetensors"))
+        if not files:
+            raise FileNotFoundError(f"No safetensors files under {path}")
+        state = {}
+        for f in files:
+            state.update(load_file(str(f)))
+    if check_finite:
+        check_finite_state(state, str(path))
     return state
+
+
+def check_finite_state(state: dict, source: str = "<state dict>") -> None:
+    """Raise if any float tensor contains inf/nan, naming every offender.
+
+    First-contact guard: a corrupted or fp16-overflowed checkpoint must
+    fail here with tensor names, not as garbage model output later.
+    """
+    bad: list[str] = []
+    for k, v in state.items():
+        a = np.asarray(v)
+        if not np.issubdtype(a.dtype, np.floating):
+            continue
+        n = int(a.size - np.isfinite(a.astype(np.float32, copy=False)).sum())
+        if n:
+            bad.append(f"{k}: {n}/{a.size} non-finite ({a.dtype}, shape {tuple(a.shape)})")
+    if bad:
+        raise ValueError(
+            f"{source}: checkpoint contains non-finite values in "
+            f"{len(bad)} tensor(s):\n  " + "\n  ".join(bad[:20])
+            + (f"\n  ... {len(bad) - 20} more" if len(bad) > 20 else "")
+        )
 
 
 def _to_jnp(x: np.ndarray, dtype) -> jnp.ndarray:
@@ -93,11 +124,50 @@ def _permute_head_channels(tree: dict, heads: int, perm) -> dict:
     return out
 
 
+def _check_fused_qkv(state: dict, prefix: str) -> None:
+    """Diagnose a fused-qkv checkpoint layout before a bare KeyError fires.
+
+    The reference fuses q/k/v at RUNTIME (ref:actionmesh/model/utils/
+    attention_processor.py:106-115) from split to_q/to_k/to_v checkpoint
+    tensors; a snapshot that instead SHIPS a fused tensor (or ships it
+    transposed) must fail with the layout spelled out, not with
+    "KeyError: to_q.weight".
+    """
+    if f"{prefix}.to_q.weight" in state:
+        return
+    for fused in (f"{prefix}.qkv.weight", f"{prefix}.to_qkv.weight"):
+        if fused not in state:
+            continue
+        shape = tuple(np.asarray(state[fused]).shape)
+        hint = ""
+        if len(shape) == 2:
+            rows, cols = shape
+            if rows == 3 * cols:
+                hint = (
+                    f" Layout looks like torch fused (3*dim, dim)={shape}; "
+                    "split rows into thirds (q, k, v) and re-save as "
+                    f"{prefix}.to_{{q,k,v}}.weight."
+                )
+            elif cols == 3 * rows:
+                hint = (
+                    f" Layout {shape} is TRANSPOSED fused qkv "
+                    f"((dim, 3*dim) instead of torch's (3*dim, dim)); "
+                    "transpose, then split rows into q/k/v."
+                )
+        raise ValueError(
+            f"{prefix}: checkpoint ships a FUSED qkv tensor '{fused}' "
+            f"{shape} where split {prefix}.to_q/.to_k/.to_v weights are "
+            f"expected (the reference stores them split and fuses at "
+            f"runtime).{hint}"
+        )
+
+
 def _attention(
     state: dict, prefix: str, dtype, fp32: bool = False,
     rope_half_heads: int = 0,
 ) -> dict:
     adtype = jnp.float32 if fp32 else dtype
+    _check_fused_qkv(state, prefix)
     out = {
         "to_q": _linear(state, f"{prefix}.to_q", adtype),
         "to_k": _linear(state, f"{prefix}.to_k", adtype),
@@ -129,6 +199,10 @@ def _flow_block(
 ) -> dict:
     adtype = jnp.float32 if fp32 else dtype
     out: dict = {}
+    # the presence gates below key on to_q.weight; a fused-qkv checkpoint
+    # (to_q absent, qkv present) must diagnose, not silently drop the block
+    _check_fused_qkv(state, f"{prefix}.s_attn")
+    _check_fused_qkv(state, f"{prefix}.x_attn")
     if f"{prefix}.s_attn.to_q.weight" in state:
         out["norm_s_attn"] = _layer_norm(state, f"{prefix}.norm_s_attn")
         # self-attention receives RoPE -> permute to the half channel layout
@@ -230,22 +304,28 @@ def convert_denoiser(
     state: dict, cfg, dtype=jnp.bfloat16, verify: bool = True
 ) -> dict:
     state = {k: np.asarray(v) for k, v in state.items()}
-    converted = {
-        "time_proj": {
-            "linear_1": _linear(state, "time_proj.linear_1", dtype),
-            "linear_2": _linear(state, "time_proj.linear_2", dtype),
-        },
-        "proj_in": _linear(state, "proj_in", dtype),
-        "blocks": [
-            _flow_block(
-                state, f"blocks.{i}", dtype,
-                rope_half_heads=cfg.num_attention_heads,
-            )
-            for i in range(cfg.num_layers)
-        ],
-        "norm_out": _layer_norm(state, "norm_out"),
-        "proj_out": _linear(state, "proj_out", dtype),
-    }
+    try:
+        converted = {
+            "time_proj": {
+                "linear_1": _linear(state, "time_proj.linear_1", dtype),
+                "linear_2": _linear(state, "time_proj.linear_2", dtype),
+            },
+            "proj_in": _linear(state, "proj_in", dtype),
+            "blocks": [
+                _flow_block(
+                    state, f"blocks.{i}", dtype,
+                    rope_half_heads=cfg.num_attention_heads,
+                )
+                for i in range(cfg.num_layers)
+            ],
+            "norm_out": _layer_norm(state, "norm_out"),
+            "proj_out": _linear(state, "proj_out", dtype),
+        }
+    except KeyError as e:
+        raise KeyError(
+            f"Stage-I denoiser key mapping mismatch: missing {e}.\n"
+            "Checkpoint structure:\n" + describe_state_dict(state)
+        ) from e
     if verify:
         import jax
 
@@ -273,22 +353,28 @@ def convert_autoencoder(
 ) -> dict:
     state = {k: np.asarray(v) for k, v in state.items()}
     n = cfg.num_layers
-    blocks = [
-        _flow_block(
-            state, f"blocks.{i}", dtype,
-            rope_half_heads=cfg.num_attention_heads,
-        )
-        for i in range(n)
-    ]
-    # final cross-attention block: no RoPE, no permutation
-    blocks.append(_flow_block(state, f"blocks.{n}", dtype, fp32=True))
-    converted = {
-        "blocks": blocks,
-        "proj_query": _linear(state, "proj_query", jnp.float32),
-        "norm_out": _layer_norm(state, "norm_out"),
-        "proj_out": _linear(state, "proj_out", jnp.float32),
-        "post_quant": _linear(state, "post_quant", dtype),
-    }
+    try:
+        blocks = [
+            _flow_block(
+                state, f"blocks.{i}", dtype,
+                rope_half_heads=cfg.num_attention_heads,
+            )
+            for i in range(n)
+        ]
+        # final cross-attention block: no RoPE, no permutation
+        blocks.append(_flow_block(state, f"blocks.{n}", dtype, fp32=True))
+        converted = {
+            "blocks": blocks,
+            "proj_query": _linear(state, "proj_query", jnp.float32),
+            "norm_out": _layer_norm(state, "norm_out"),
+            "proj_out": _linear(state, "proj_out", jnp.float32),
+            "post_quant": _linear(state, "post_quant", dtype),
+        }
+    except KeyError as e:
+        raise KeyError(
+            f"Stage-II autoencoder key mapping mismatch: missing {e}.\n"
+            "Checkpoint structure:\n" + describe_state_dict(state)
+        ) from e
     if verify:
         import jax
 
@@ -334,21 +420,27 @@ def convert_dinov2(state: dict, cfg, dtype=jnp.bfloat16, verify: bool = True) ->
             },
         }
 
-    proj = state["embeddings.patch_embeddings.projection.weight"]  # OIHW
-    converted = {
-        "patch_embed": {
-            "kernel": _to_jnp(proj.transpose(2, 3, 1, 0), dtype),
-            "bias": _to_jnp(
-                state["embeddings.patch_embeddings.projection.bias"], dtype
+    try:
+        proj = state["embeddings.patch_embeddings.projection.weight"]  # OIHW
+        converted = {
+            "patch_embed": {
+                "kernel": _to_jnp(proj.transpose(2, 3, 1, 0), dtype),
+                "bias": _to_jnp(
+                    state["embeddings.patch_embeddings.projection.bias"], dtype
+                ),
+            },
+            "cls_token": _to_jnp(state["embeddings.cls_token"], jnp.float32),
+            "pos_embed": _to_jnp(
+                state["embeddings.position_embeddings"], jnp.float32
             ),
-        },
-        "cls_token": _to_jnp(state["embeddings.cls_token"], jnp.float32),
-        "pos_embed": _to_jnp(
-            state["embeddings.position_embeddings"], jnp.float32
-        ),
-        "blocks": [block(i) for i in range(cfg.num_layers)],
-        "norm": _layer_norm(state, "layernorm"),
-    }
+            "blocks": [block(i) for i in range(cfg.num_layers)],
+            "norm": _layer_norm(state, "layernorm"),
+        }
+    except KeyError as e:
+        raise KeyError(
+            f"DINOv2 key mapping mismatch: missing {e}.\n"
+            "Checkpoint structure:\n" + describe_state_dict(state)
+        ) from e
     if verify:
         import jax
 
