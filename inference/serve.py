@@ -152,7 +152,9 @@ def make_handler(server: ActionMeshServer):
                 n = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(n) or b"{}")
                 self._send(200, server.handle(req))
-            except (ValueError, FileNotFoundError) as e:
+            except (ValueError, FileNotFoundError, AssertionError) as e:
+                # AssertionError: input validation (e.g. MIN_FRAMES in
+                # io/video_input.py) — a client error, not a server fault
                 self._send(400, {"status": "error", "error": str(e)})
             except Exception as e:  # keep the server alive on request failure
                 logger.exception("request failed")
