@@ -124,7 +124,15 @@ def run_evaluator_cli(root: Path, pred_root: Path, device: str) -> dict:
         "--n_pts_icp", "2048",
         "--n_pts_chamfer", "4096",
     ]
-    proc = subprocess.run(cmd, capture_output=True, text=True, cwd=str(REPO))
+    import os
+
+    env = dict(os.environ)
+    if device == "cpu":
+        env["JAX_PLATFORM_NAME"] = "cpu"
+        env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        cmd, capture_output=True, text=True, cwd=str(REPO), env=env
+    )
     if proc.returncode != 0:
         raise RuntimeError(
             f"evaluate_dataset.py CLI failed rc={proc.returncode}:\n"
