@@ -61,6 +61,11 @@ class MeshProcessConfig:
 class Stage0Config:
     num_inference_steps: int = 100
     guidance_scale: float = 7.5
+    # SDF decode speed knobs (opt-in; None keeps the reference-equivalent
+    # single-level fp32 coarse pass — see models/triposg/pipeline.py
+    # decode_latents for semantics and accuracy rationale)
+    prefilter_octree_depth: Optional[int] = None
+    coarse_decode_dtype: Optional[str] = None
 
 
 @dataclasses.dataclass

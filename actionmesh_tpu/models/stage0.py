@@ -76,6 +76,7 @@ class StubImageTo3D:
         seed: int = 44,
         num_inference_steps: int = 100,
         guidance_scale: float = 7.5,
+        **decode_kwargs,
     ) -> tuple[jnp.ndarray, Mesh]:
         del num_inference_steps, guidance_scale
         # Mix image content into the seed so different inputs diverge

@@ -338,6 +338,8 @@ class TripoSGPipeline:
         bounds=DEFAULT_BOUNDS,
         dense_octree_depth: int = 8,
         hierarchical_octree_depth: int = 9,
+        prefilter_octree_depth: Optional[int] = None,
+        coarse_decode_dtype: Optional[str] = None,
     ) -> tuple[jnp.ndarray, Mesh]:
         """Generate (latents (1, K, C), mesh) from one image.
 
@@ -383,6 +385,8 @@ class TripoSGPipeline:
             bounds=bounds,
             dense_octree_depth=dense_octree_depth,
             hierarchical_octree_depth=hierarchical_octree_depth,
+            prefilter_octree_depth=prefilter_octree_depth,
+            coarse_decode_dtype=coarse_decode_dtype,
         )
         return latents.astype(jnp.float32), meshes[0]
 
@@ -410,9 +414,23 @@ class TripoSGPipeline:
         bounds=DEFAULT_BOUNDS,
         dense_octree_depth: int = 8,
         hierarchical_octree_depth: int = 9,
+        prefilter_octree_depth: Optional[int] = None,
+        coarse_decode_dtype: Optional[str] = None,
     ) -> list[Mesh]:
-        """Latents -> meshes via hierarchical SDF extraction."""
+        """Latents -> meshes via hierarchical SDF extraction.
+
+        Speed knobs (both opt-in, preset-controlled):
+          * ``prefilter_octree_depth``: two-level coarse pass
+            (ops/isosurface.py) — dense-lattice queries drop to the
+            surface band;
+          * ``coarse_decode_dtype`` ("bfloat16"): coarse sign queries in
+            bf16 (fine pass stays fp32; upstream runs its whole decode in
+            fp16, so this is strictly more accurate than the reference).
+        """
         latents = jnp.asarray(latents, self._dtype)
+        coarse_cd = (
+            jnp.dtype(coarse_decode_dtype) if coarse_decode_dtype else None
+        )
         meshes = []
         for b in range(latents.shape[0]):
             kv = decode_kv(
@@ -454,6 +472,7 @@ class TripoSGPipeline:
                             jnp.float32(level), Rc=Rc,
                             attn_impl=self._attn_impl, regularizer=reg_jax,
                             mesh=self.device_mesh,
+                            compute_dtype=coarse_cd,
                         )
                     )
 
@@ -475,6 +494,7 @@ class TripoSGPipeline:
                 hierarchical_octree_depth=hierarchical_octree_depth,
                 grid_inside_fn=grid_inside_fn,
                 ids_val_fn=ids_val_fn,
+                prefilter_octree_depth=prefilter_octree_depth,
             )
             if len(f) == 0:
                 logger.warning(

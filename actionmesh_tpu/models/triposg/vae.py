@@ -247,17 +247,41 @@ def _query_core(
     points: jnp.ndarray,
     attn_impl: str = "auto",
     mesh=None,
+    compute_dtype=None,
 ) -> jnp.ndarray:
-    """SDF field query body: points (B, Q, 3) -> (B, Q) values (fp32)."""
+    """SDF field query body: points (B, Q, 3) -> (B, Q) values (fp32).
+
+    ``compute_dtype`` (e.g. bf16): run the query cross-attention's four
+    projections + score/value matmuls in that dtype instead of fp32 —
+    softmax and layer norms stay fp32 (ops/attention.py contract). The
+    COARSE extraction pass consumes only the SIGN of the field and any
+    sign flipped by bf16 rounding sits within one lattice cell of the
+    surface, which the fp32 fine pass re-evaluates — and the reference
+    runs its whole decode in fp16 (TripoSG ships fp16 weights,
+    ref:actionmesh/external/triposg.py:140-142), so a bf16 coarse +
+    fp32 fine split is strictly more accurate than upstream.
+    """
+    attn_params = params["dec_cross_attn"]
+    kv_dtype = jnp.float32
+    if compute_dtype is not None:
+        kv_dtype = compute_dtype
+        attn_params = {
+            k: (
+                {kk: vv.astype(compute_dtype) for kk, vv in v.items()}
+                if k in ("to_q", "to_k", "to_v", "to_out")
+                else v  # norms stay fp32
+            )
+            for k, v in attn_params.items()
+        }
     q = linear(params["proj_query"], _embed_points(cfg, points))
     h = q + attention(
-        params["dec_cross_attn"],
+        attn_params,
         layer_norm(params["dec_norm_cross_q"], q),
         heads=cfg.decoder_heads,
-        encoder_hidden_states=kv.astype(jnp.float32),
+        encoder_hidden_states=kv.astype(kv_dtype),
         attn_impl=attn_impl,
         mesh=mesh,
-    )
+    ).astype(jnp.float32)
     out = linear(params["dec_proj_out"], layer_norm(params["dec_norm_out"], h))
     return out[..., 0]
 
@@ -274,7 +298,7 @@ def query_sdf(
     return _query_core(params, cfg, kv, points, attn_impl)
 
 
-def _query_chunk(params, cfg, kv, pts, attn_impl, mesh):
+def _query_chunk(params, cfg, kv, pts, attn_impl, mesh, compute_dtype=None):
     """One flat chunk (Q, 3) -> (Q,) values, sharded when a mesh is given.
 
     The lattice query axis is embarrassingly parallel: with a device mesh,
@@ -293,14 +317,21 @@ def _query_chunk(params, cfg, kv, pts, attn_impl, mesh):
             )
             kvb = jnp.broadcast_to(kv[:1], (dp,) + kv.shape[1:])
             return _query_core(
-                params, cfg, kvb, ptsb, attn_impl, mesh=mesh
+                params, cfg, kvb, ptsb, attn_impl, mesh=mesh,
+                compute_dtype=compute_dtype,
             ).reshape(-1)
-    return _query_core(params, cfg, kv, pts[None], attn_impl, mesh=mesh)[0]
+    return _query_core(
+        params, cfg, kv, pts[None], attn_impl, mesh=mesh,
+        compute_dtype=compute_dtype,
+    )[0]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "Rc", "chunk", "attn_impl", "regularizer", "mesh"),
+    static_argnames=(
+        "cfg", "Rc", "chunk", "attn_impl", "regularizer", "mesh",
+        "compute_dtype",
+    ),
 )
 def query_sdf_grid_inside(
     params: Params,
@@ -314,6 +345,7 @@ def query_sdf_grid_inside(
     attn_impl: str = "auto",
     regularizer=None,
     mesh=None,
+    compute_dtype=None,
 ) -> jnp.ndarray:
     """Inside-mask of the dense ``Rc**3`` SDF lattice, in ONE dispatch.
 
@@ -345,7 +377,9 @@ def query_sdf_grid_inside(
             jnp.stack([ii, jj, kk], axis=-1).astype(jnp.float32)
             * step[None, :]
         )
-        vals = _query_chunk(params, cfg, kv, pts, attn_impl, mesh)
+        vals = _query_chunk(
+            params, cfg, kv, pts, attn_impl, mesh, compute_dtype
+        )
         if regularizer is not None:
             vals = regularizer(pts, vals)
         return carry, (vals < level).astype(jnp.int8)

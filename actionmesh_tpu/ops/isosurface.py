@@ -304,6 +304,27 @@ def _triangulate_full_grid(pts, vals, level, method="cubes"):
     return triangulate_cells(corner_points, corner_values, flat, level, method)
 
 
+def _cell_crossing_mask(inside: np.ndarray) -> np.ndarray:
+    """(R, R, R) uint8 inside-mask -> (R-1,)*3 bool crossing-cell mask."""
+    R = inside.shape[0]
+    acc = np.zeros((R - 1,) * 3, np.uint8)
+    for dx, dy, dz in _CUBE_CORNERS:
+        acc += inside[dx : R - 1 + dx, dy : R - 1 + dy, dz : R - 1 + dz]
+    return (acc > 0) & (acc < 8)
+
+
+def _dilate_cells(mask: np.ndarray) -> np.ndarray:
+    """3x3x3 box dilation of a bool cell mask (numpy shifts, no scipy)."""
+    p = np.pad(mask, 1)
+    out = np.zeros_like(mask)
+    n = mask.shape[0]
+    for dx in range(3):
+        for dy in range(3):
+            for dz in range(3):
+                out |= p[dx : dx + n, dy : dy + n, dz : dz + n]
+    return out
+
+
 def hierarchical_extract_geometry(
     sdf_fn: Callable[[np.ndarray], np.ndarray],
     bounds: tuple[float, ...] = (-1.005, -1.005, -1.005, 1.005, 1.005, 1.005),
@@ -314,6 +335,7 @@ def hierarchical_extract_geometry(
     method: str = "cubes",
     grid_inside_fn: Optional[Callable] = None,
     ids_val_fn: Optional[Callable] = None,
+    prefilter_octree_depth: Optional[int] = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Coarse dense pass + fine re-evaluation only in surface-crossing cells.
 
@@ -333,6 +355,17 @@ def hierarchical_extract_geometry(
       * ``ids_val_fn(ijk_int32 (M, 3), lo, fine_step) -> fp32 (>= M,)`` —
         field values at fine-lattice ids, M a multiple of the caller's
         internal padding (``query_sdf_at_ids``).
+
+    ``prefilter_octree_depth`` (opt-in; < dense_octree_depth): two-level
+    coarse pass. A depth-P dense sign grid locates the surface band; only
+    the (dilated) crossing cells are subdivided to the dense depth, so
+    dense-lattice queries drop from (2^d+1)^3 to O(surface area) — at
+    P=6 / d=8 that is ~17M -> ~1M queries, the dominant decode term
+    (BENCH_NOTES r3g). Features thinner than a depth-P cell that produce
+    no sign change at ANY depth-P lattice point are missed (same failure
+    mode as running the plain dense pass at depth P); the 1-cell dilation
+    covers field wiggles at the band edge. Counterpart of the reference's
+    flash octree decoder (ref:actionmesh/external/triposg.py:55-57).
     """
     lo, hi = np.array(bounds[:3]), np.array(bounds[3:])
     Rc = (1 << dense_octree_depth) + 1
@@ -354,15 +387,81 @@ def hierarchical_extract_geometry(
         pts[:, 2] = lo[2] + k * step[2]
         return pts
 
+    def _vals_at_ids(ui, uj, uk, step_arr) -> np.ndarray:
+        """Field values at integer lattice ids on a grid of step
+        ``step_arr`` anchored at ``lo`` (device fast path when given)."""
+        if ids_val_fn is not None:
+            m = len(ui)
+            m_pad = -(-m // chunk) * chunk
+            ijk = np.zeros((m_pad, 3), np.int32)
+            ijk[:m, 0] = ui
+            ijk[:m, 1] = uj
+            ijk[:m, 2] = uk
+            return np.asarray(ids_val_fn(ijk, lo, step_arr), np.float32)[:m]
+        pts = np.empty((len(ui), 3), np.float32)
+        pts[:, 0] = lo[0] + np.asarray(ui) * step_arr[0]
+        pts[:, 1] = lo[1] + np.asarray(uj) * step_arr[1]
+        pts[:, 2] = lo[2] + np.asarray(uk) * step_arr[2]
+        return _eval_chunked(sdf_fn, pts, chunk)
+
+    use_prefilter = (
+        prefilter_octree_depth is not None
+        and prefilter_octree_depth < dense_octree_depth
+        and hierarchical_octree_depth > dense_octree_depth
+    )
     use_sign_path = (
         grid_inside_fn is not None
         and hierarchical_octree_depth > dense_octree_depth
     )
-    if use_sign_path:
+    if use_prefilter:
+        # Two-level coarse: depth-P dense signs -> band cells -> dense-depth
+        # signs ONLY inside the (dilated) band.
+        Rp = (1 << prefilter_octree_depth) + 1
+        step_p = (hi - lo) / (Rp - 1)
+        if grid_inside_fn is not None:
+            inside_p = (
+                np.asarray(grid_inside_fn(lo, step_p, Rp, level))[: Rp**3]
+                .reshape(Rp, Rp, Rp)
+                .astype(np.uint8)
+            )
+        else:
+            pvals = _vals_at_ids(
+                *np.unravel_index(np.arange(Rp**3), (Rp, Rp, Rp)), step_p
+            )
+            inside_p = (pvals.reshape(Rp, Rp, Rp) < level).view(np.uint8)
+        band = _dilate_cells(_cell_crossing_mask(inside_p))
+        pi, pj, pk = np.nonzero(band)
+        if len(pi) == 0:
+            return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64)
+        s0 = 1 << (dense_octree_depth - prefilter_octree_depth)
+        # dense-lattice ids of the band cells' (s0+1)^3 sub-lattices
+        bi = pi[:, None, None, None] * s0 + np.arange(s0 + 1)[None, :, None, None]
+        bj = pj[:, None, None, None] * s0 + np.arange(s0 + 1)[None, None, :, None]
+        bk = pk[:, None, None, None] * s0 + np.arange(s0 + 1)[None, None, None, :]
+        band_ids = (bi * Rc + bj) * Rc + bk  # (Cp, s0+1, s0+1, s0+1)
+        uniq_b, inv_b = np.unique(band_ids.reshape(-1), return_inverse=True)
+        bvals = _vals_at_ids(
+            uniq_b // (Rc * Rc), (uniq_b // Rc) % Rc, uniq_b % Rc, step
+        )
+        sub_in = (bvals[inv_b] < level).reshape(band_ids.shape)
+        # dense-depth crossing sub-cells within the band
+        acc = np.zeros(sub_in.shape[:1] + (s0, s0, s0), np.uint8)
+        for dx, dy, dz in _CUBE_CORNERS:
+            acc += sub_in[:, dx : s0 + dx, dy : s0 + dy, dz : s0 + dz]
+        w, li, lj, lk = np.nonzero((acc > 0) & (acc < 8))
+        ci = pi[w] * s0 + li
+        cj = pj[w] * s0 + lj
+        ck = pk[w] * s0 + lk
+        # emit in global row-major cell order: the single-level pass orders
+        # cells this way, so the triangulations are bit-identical
+        order = np.lexsort((ck, cj, ci))
+        ci, cj, ck = ci[order], cj[order], ck[order]
+    elif use_sign_path:
         inside_flat = np.asarray(grid_inside_fn(lo, step, Rc, level))
         inside = (
             inside_flat[:n_coarse].reshape(Rc, Rc, Rc).astype(np.uint8)
         )
+        ci, cj, ck = np.nonzero(_cell_crossing_mask(inside))
     else:
         coarse_vals = np.empty(n_coarse, np.float32)
         for start in range(0, n_coarse, chunk):
@@ -377,13 +476,9 @@ def hierarchical_extract_geometry(
                 _grid_points(lo, hi, Rc), coarse_vals, level, method
             )
         inside = (coarse_vals < level).view(np.uint8)
+        ci, cj, ck = np.nonzero(_cell_crossing_mask(inside))
 
     s = 1 << (hierarchical_octree_depth - dense_octree_depth)  # subdiv/axis
-    # Crossing-cell detection as one uint8 accumulation (no 8-slice stack)
-    acc = np.zeros((Rc - 1, Rc - 1, Rc - 1), np.uint8)
-    for dx, dy, dz in _CUBE_CORNERS:
-        acc += inside[dx : Rc - 1 + dx, dy : Rc - 1 + dy, dz : Rc - 1 + dz]
-    ci, cj, ck = np.nonzero((acc > 0) & (acc < 8))
     if len(ci) == 0:
         return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64)
 
@@ -403,22 +498,7 @@ def hierarchical_extract_geometry(
     ui = uniq_ids // (fine_R * fine_R)
     uj = (uniq_ids // fine_R) % fine_R
     uk = uniq_ids % fine_R
-    if ids_val_fn is not None:
-        m = len(uniq_ids)
-        m_pad = -(-m // chunk) * chunk
-        ijk = np.zeros((m_pad, 3), np.int32)
-        ijk[:m, 0] = ui
-        ijk[:m, 1] = uj
-        ijk[:m, 2] = uk
-        uniq_vals = np.asarray(
-            ids_val_fn(ijk, lo, fine_step), np.float32
-        )[:m]
-    else:
-        uniq_pts = np.empty((len(uniq_ids), 3), np.float32)
-        uniq_pts[:, 0] = lo[0] + ui * fine_step[0]
-        uniq_pts[:, 1] = lo[1] + uj * fine_step[1]
-        uniq_pts[:, 2] = lo[2] + uk * fine_step[2]
-        uniq_vals = _eval_chunked(sdf_fn, uniq_pts, chunk)
+    uniq_vals = _vals_at_ids(ui, uj, uk, fine_step)
     fine_vals = uniq_vals[inv].reshape(fine_ids.shape).astype(np.float32)
 
     # Native fast path: triangulate the fine lattices directly in C++

@@ -290,11 +290,21 @@ class ActionMeshPipeline:
         self, input: ActionMeshInput, seed: int = 44
     ) -> tuple[LatentBank, MeshBank]:
         """Anchor frame -> 3D latent + mesh via the image-to-3D backend."""
+        decode_kwargs = {}
+        if self.cfg.stage_0.prefilter_octree_depth is not None:
+            decode_kwargs["prefilter_octree_depth"] = (
+                self.cfg.stage_0.prefilter_octree_depth
+            )
+        if self.cfg.stage_0.coarse_decode_dtype is not None:
+            decode_kwargs["coarse_decode_dtype"] = (
+                self.cfg.stage_0.coarse_decode_dtype
+            )
         anchor_latent, anchor_mesh = self.image_to_3d(
             image=input.frames[self.cfg.anchor_idx],
             seed=seed,
             num_inference_steps=self.cfg.stage_0.num_inference_steps,
             guidance_scale=self.cfg.stage_0.guidance_scale,
+            **decode_kwargs,
         )
         anchor_mesh = self.mesh_process.process_mesh(anchor_mesh, seed=seed)
 

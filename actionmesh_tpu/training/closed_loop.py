@@ -632,7 +632,8 @@ class Stage0Adapter:
         self.dense_depth = dense_depth
         self.hier_depth = hier_depth
 
-    def __call__(self, image, seed=44, num_inference_steps=16, guidance_scale=2.0):
+    def __call__(self, image, seed=44, num_inference_steps=16,
+                 guidance_scale=2.0, **decode_kwargs):
         return self.pipeline(
             image,
             seed=seed,
@@ -640,6 +641,7 @@ class Stage0Adapter:
             guidance_scale=guidance_scale,
             dense_octree_depth=self.dense_depth,
             hierarchical_octree_depth=self.hier_depth,
+            **decode_kwargs,
         )
 
 

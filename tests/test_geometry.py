@@ -342,3 +342,48 @@ class TestMarchingCubes:
             )
             assert len(F) > 0
             self._check_watertight(V, F)
+
+
+class TestPrefilterBandPass:
+    """Two-level coarse pass (prefilter_octree_depth) == full dense pass.
+
+    For fields smooth at the prefilter cell scale, the depth-P band (with
+    1-cell dilation) must contain every dense-depth crossing cell, so the
+    extraction is IDENTICAL to the single-level pass."""
+
+    @staticmethod
+    def two_lobe_sdf(pts):
+        a = np.linalg.norm(pts - np.array([0.25, 0.0, 0.1]), axis=-1) - 0.45
+        b = np.linalg.norm(pts + np.array([0.3, 0.2, 0.0]), axis=-1) - 0.3
+        return np.minimum(a, b)
+
+    def test_prefilter_matches_full_dense(self):
+        kwargs = dict(
+            bounds=(-1.0,) * 3 + (1.0,) * 3,
+            dense_octree_depth=6, hierarchical_octree_depth=7,
+        )
+        v_ref, f_ref = hierarchical_extract_geometry(self.two_lobe_sdf, **kwargs)
+        v_pre, f_pre = hierarchical_extract_geometry(
+            self.two_lobe_sdf, prefilter_octree_depth=4, **kwargs
+        )
+        assert f_ref.shape == f_pre.shape
+        np.testing.assert_array_equal(f_ref, f_pre)
+        np.testing.assert_allclose(v_ref, v_pre, atol=1e-6)
+
+    def test_prefilter_sphere_radius(self):
+        v, f = hierarchical_extract_geometry(
+            sphere_sdf, dense_octree_depth=5, hierarchical_octree_depth=6,
+            prefilter_octree_depth=3,
+        )
+        assert len(f) > 100
+        np.testing.assert_allclose(
+            np.linalg.norm(v, axis=1), 0.6, atol=0.005
+        )
+
+    def test_prefilter_empty_field(self):
+        v, f = hierarchical_extract_geometry(
+            lambda p: np.full(p.shape[0], 1.0, np.float32),
+            dense_octree_depth=5, hierarchical_octree_depth=6,
+            prefilter_octree_depth=3,
+        )
+        assert len(v) == 0 and len(f) == 0

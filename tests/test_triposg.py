@@ -452,3 +452,87 @@ class TestGeometryOracle:
         box_vs_sphere = float(np.abs(self._sphere_sdf(box_mesh.vertices)).mean())
         assert res_sphere < 0.7 * sphere_vs_box, (res_sphere, sphere_vs_box)
         assert res_box < 0.7 * box_vs_sphere, (res_box, box_vs_sphere)
+
+
+class TestBF16CoarseDecode:
+    """bf16 coarse sign pass: any sign disagreement vs fp32 is confined to
+    the near-zero band of the field (which the fp32 fine pass re-evaluates;
+    the reference runs its whole decode in fp16)."""
+
+    def _setup(self):
+        from actionmesh_tpu.models.triposg.vae import query_sdf_grid_inside
+
+        params = init_triposg_vae(jax.random.PRNGKey(0), TINY_VAE)
+        latent = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 8))
+        kv = decode_kv(params, TINY_VAE, latent, attn_impl="naive")
+        return params, kv, query_sdf_grid_inside
+
+    def test_bf16_sign_flips_only_near_surface(self):
+        params, kv, query_sdf_grid_inside = self._setup()
+        Rc = 9
+        lo = np.array([-1.0, -1.0, -1.0])
+        step = np.array([0.25, 0.25, 0.25])
+        masks = {}
+        for cd in (None, jnp.bfloat16):
+            masks[cd] = np.asarray(
+                query_sdf_grid_inside(
+                    params, TINY_VAE, kv, jnp.asarray(lo), jnp.asarray(step),
+                    jnp.float32(0.0), Rc=Rc, chunk=128, attn_impl="naive",
+                    compute_dtype=cd,
+                )
+            )[: Rc**3]
+        mismatch = masks[None] != masks[jnp.bfloat16]
+        # fp32 values at every lattice point
+        idx = np.arange(Rc**3)
+        k = idx % Rc
+        j = (idx // Rc) % Rc
+        i = idx // (Rc * Rc)
+        pts = np.stack(
+            [lo[0] + i * step[0], lo[1] + j * step[1], lo[2] + k * step[2]], -1
+        ).astype(np.float32)
+        vals = np.asarray(
+            query_sdf(params, TINY_VAE, kv, jnp.asarray(pts)[None],
+                      attn_impl="naive")
+        )[0]
+        scale = np.abs(vals).std()
+        assert mismatch.mean() < 0.05
+        if mismatch.any():
+            # every flipped sign sits in the near-zero band
+            assert np.abs(vals[mismatch]).max() < 0.05 * scale
+
+    def test_decode_latents_with_speed_knobs_extracts(self):
+        """decode_latents accepts prefilter + bf16 knobs end-to-end and
+        produces a finite mesh close to the default path."""
+        from actionmesh_tpu.models.triposg.pipeline import TripoSGPipeline
+
+        pipe = TripoSGPipeline.from_random(
+            seed=0, dtype=jnp.float32,
+            dit_cfg=triposg_dit_config(
+                num_tokens=16, in_channels=8, num_layers=2, width=32,
+                num_attention_heads=2, cross_attention_dim=16,
+            ),
+            vae_cfg=TINY_VAE, attn_impl="naive",
+        )
+        # smooth dev-style field so the random-weight isosurface is sane
+        import jax.numpy as _jnp
+
+        pipe.sdf_regularizer = lambda p, v: (
+            np.linalg.norm(p, axis=-1) - 0.6
+        ) + 0.1 * np.tanh(v)
+        pipe.sdf_regularizer_jax = lambda p, v: (
+            _jnp.linalg.norm(p, axis=-1) - 0.6
+        ) + 0.1 * jnp.tanh(v)
+        latents = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 8))
+        ref = pipe.decode_latents(
+            latents, dense_octree_depth=4, hierarchical_octree_depth=5
+        )[0]
+        fast = pipe.decode_latents(
+            latents, dense_octree_depth=4, hierarchical_octree_depth=5,
+            prefilter_octree_depth=3, coarse_decode_dtype="bfloat16",
+        )[0]
+        assert len(fast.faces) > 50
+        assert np.isfinite(fast.vertices).all()
+        # same surface up to the bf16 near-zero band: radii match closely
+        r_ref = np.linalg.norm(ref.vertices, axis=1).mean()
+        r_fast = np.linalg.norm(fast.vertices, axis=1).mean()
+        assert abs(r_ref - r_fast) < 0.01
