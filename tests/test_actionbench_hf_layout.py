@@ -47,11 +47,15 @@ def test_hf_clone_layout_and_loader(tmp_path, spec):
 
 
 def test_evaluator_cli_unmodified_on_hf_layout(tmp_path, spec):
-    uids = build_hf_clone(tmp_path, 2, seed=3, spec=spec)
+    # ONE sample: the evaluator's per-sample ICP is minutes on the 1-core
+    # CI host (the multi-sample + real-pipeline version is
+    # scripts/actionbench_hf_dryrun.py, exercised on the chip —
+    # ACTIONBENCH_HF_DRYRUN.json)
+    uids = build_hf_clone(tmp_path, 1, seed=3, spec=spec)
     pred_root = predict_gt(tmp_path, uids, seed=3, spec=spec)
     summary = run_evaluator_cli(tmp_path, pred_root, device="cpu")
-    assert summary["n_total"] == 2
-    assert summary["n_success"] == 2
+    assert summary["n_total"] == 1
+    assert summary["n_success"] == 1
     # GT-derived predictions sit at the sampling floor
     assert summary["cd_3d_mean"] < 0.05
     assert np.isfinite(summary["cd_4d_mean"])

@@ -130,6 +130,28 @@ def ref_cascade(model, context_all, anchor_latent, timesteps_all):
 
 # ---------------------------------------------------------------------------
 
+def test_qknorm_off_denoiser_checkpoint_fails_fast(tmp_path):
+    """The Stage-I denoiser architecture REQUIRES qk-norm (reference
+    attention_processor.py); a norm-less checkpoint must be rejected by
+    verify_converted with the missing tensors named, not silently run
+    without normalization (the qk-norm-OFF block path is the Stage II
+    architecture — its cascade parity lives in
+    test_stage2_cascade_matches_reference_math)."""
+    from actionmesh_tpu.models.denoiser import DenoiserConfig
+    from actionmesh_tpu.utils.weights import convert_denoiser
+
+    torch.manual_seed(0)
+    model = RefDenoiser(qk_norm=False).eval()
+    cfg = DenoiserConfig(
+        num_tokens_nominal=N_TOKENS, width=32, num_layers=3,
+        num_attention_heads=2, in_channels=IN_CH,
+        cross_attention_dim=CROSS_DIM, mlp_ratio=2.0,
+        inflated_layers=(0, 1, 2), temporal_context_size=T_WINDOW,
+    )
+    with pytest.raises(ValueError, match="norm_q"):
+        convert_denoiser(state_dict_with_reference_names(model), cfg)
+
+
 @pytest.mark.slow
 def test_stage1_cascade_matches_reference_math(monkeypatch, tmp_path):
     from PIL import Image
@@ -208,5 +230,140 @@ def test_stage1_cascade_matches_reference_math(monkeypatch, tmp_path):
     for i, t in enumerate(ours_ts):
         np.testing.assert_allclose(
             ours_lat[i], ref_bank[float(t)], atol=7e-4,
+            err_msg=f"timestep {t}",
+        )
+
+
+# ---------------------------------------------------------------------------
+# Stage-II cascade parity: the qk-norm-OFF + RoPE + batched-target block
+# combination in ORCHESTRATION form (round-4 verdict weak item 7). The
+# torch side transcribes the reference's Stage-II loop exactly —
+# per-target KV stack (temporal_autoencoder.py:249-269), AR windows
+# (pipeline.py:510-600), interpolate_timesteps + alpha scaling
+# (embeddings.py:156-241), mesh-bank first-write-wins — while the JAX
+# side runs the real generate_mesh_animation (target folding, 4096
+# bucketing with padded query rows, decode_target_chunk chunking).
+# ---------------------------------------------------------------------------
+
+T2_WINDOW = 4
+SLIDE2 = 3
+N_FRAMES2 = 7  # chunk_from(0, 7, 4, 3) -> [[0..3], [3..6]]
+
+
+def ref_interpolate(ts: np.ndarray, drop_first=True) -> np.ndarray:
+    """embeddings.py:217-241 at subsampling_level=1."""
+    t_min, t_max = float(ts.min()), float(ts.max())
+    n = int(t_max - t_min + 1)
+    out = np.linspace(t_min, t_max, n, dtype=np.float32)
+    return out[1:] if drop_first else out
+
+
+def ref_stage2_cascade(model, latents_all, timesteps_all, anchor):
+    """pipeline.py:510-600 transcription over the 2-window AR layout.
+
+    Each window's QUERY comes from the mesh bank at the window's first
+    timestep — for window 2 that is the window-1-DEFORMED mesh at the
+    overlap frame, with normals recomputed on the deformed surface
+    (pipeline.py: anchor_mesh = mesh_bank.get(window_timesteps[:, 0]))."""
+    from actionmesh_tpu.io.mesh import Mesh
+    from actionmesh_tpu.preprocessing.mesh import get_mesh_features
+
+    windows = ref_chunk_right(0, N_FRAMES2, T2_WINDOW, SLIDE2)
+    bank: dict[float, np.ndarray] = {float(timesteps_all[0]): anchor.vertices}
+    for idx in windows:
+        ts = timesteps_all[idx]
+        lat = latents_all[idx][None]
+        window_anchor = Mesh(bank[float(ts[0])], anchor.faces)
+        query_np = get_mesh_features(
+            window_anchor, with_normals=True
+        ).astype(np.float32)
+        out_ts = ref_interpolate(ts)
+        t_min, t_rng = float(ts.min()), float(ts.max() - ts.min())
+        src = np.array([(ts[0] - t_min) / t_rng], np.float32)
+        tgt = ((out_ts - t_min) / t_rng)[None].astype(np.float32)
+        with torch.no_grad():
+            disp = model(
+                torch.from_numpy(lat),
+                torch.from_numpy(ts[None].astype(np.float32)),
+                torch.from_numpy(src),
+                torch.from_numpy(tgt),
+                torch.from_numpy(query_np[None]),
+            ).numpy()  # (1, T_out, V, 3), direct mode: verts = clip(disp)
+        deformed = np.clip(disp, -1.0, 1.0)
+        for j, t in enumerate(out_ts):
+            bank.setdefault(float(t), deformed[0, j])  # first write wins
+    return bank
+
+
+@pytest.mark.slow
+def test_stage2_cascade_matches_reference_math(tmp_path):
+    from safetensors.numpy import save_file
+
+    from actionmesh_tpu.io.mesh import Mesh
+    from actionmesh_tpu.models.stage0 import make_uv_sphere
+    from actionmesh_tpu.pipeline import ActionMeshPipeline
+    from actionmesh_tpu.preprocessing.mesh import get_mesh_features
+    from actionmesh_tpu.utils.banks import LatentBank, MeshBank
+    from actionmesh_tpu.utils.weights import load_autoencoder
+    from tests.test_autoencoder_parity import (
+        LATENT as AE_LATENT,
+        RefAutoencoder,
+        reference_state_dict,
+    )
+
+    torch.manual_seed(3)
+    model = RefAutoencoder().eval()
+    save_file(reference_state_dict(model), str(tmp_path / "model.safetensors"))
+
+    pipe = ActionMeshPipeline(
+        config_name="actionmesh",
+        weights_dir=None,
+        config_updates={
+            "temporal_3D_vae.temporal_context_size": T2_WINDOW,
+            "temporal_3D_vae.latent_channels": AE_LATENT,
+            "temporal_3D_vae.width": 32,
+            "temporal_3D_vae.num_layers": 2,
+            "temporal_3D_vae.num_attention_heads": 2,
+            "temporal_3D_vae.gelu_approx": False,
+            "sliding_window_autoencoder": SLIDE2,
+            "subsampling_level": 1,
+            "decode_target_chunk": 2,  # exercise target chunking (3 -> 2+1)
+            "attn_impl": "naive",
+            "compute_dtype": "float32",
+        },
+        dtype=jnp.float32,
+    )
+    pipe.autoencoder_params = load_autoencoder(
+        tmp_path, pipe.autoencoder_config, dtype=jnp.float32
+    )
+
+    rng = np.random.default_rng(11)
+    N = 8
+    latents_all = rng.normal(size=(N_FRAMES2, N, AE_LATENT)).astype(np.float32)
+    timesteps_all = np.arange(N_FRAMES2, dtype=np.float32)
+    anchor = make_uv_sphere(n_lat=5, n_lon=6)  # V=32-ish, NOT a 4096 multiple
+
+    # --- JAX side: real Stage-II orchestration over banks
+    latent_bank = LatentBank(empty_dims=(N, AE_LATENT))
+    latent_bank.update(
+        timesteps=timesteps_all, latents=jnp.asarray(latents_all)
+    )
+    mesh_bank = MeshBank()
+    mesh_bank.update(timesteps=timesteps_all[[0]], meshes=[anchor])
+    mesh_bank = pipe.generate_mesh_animation(latent_bank, mesh_bank)
+    meshes, ts = mesh_bank.get_ordered()
+
+    # --- Torch side: reference transcription
+    ref_bank = ref_stage2_cascade(model, latents_all, timesteps_all, anchor)
+
+    assert sorted(float(t) for t in ts) == sorted(ref_bank.keys())
+    for m in meshes:
+        np.testing.assert_array_equal(m.faces, anchor.faces)  # topology held
+    for t, m in zip(ts, meshes):
+        if float(t) == 0.0:
+            np.testing.assert_array_equal(m.vertices, anchor.vertices)
+            continue
+        np.testing.assert_allclose(
+            m.vertices, ref_bank[float(t)], atol=5e-4,
             err_msg=f"timestep {t}",
         )

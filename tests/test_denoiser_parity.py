@@ -103,12 +103,12 @@ def compute_rope(positions, dim=DIM_HEAD):
 
 
 class RefBlock(nn.Module):
-    def __init__(self, skip=False):
+    def __init__(self, skip=False, qk_norm=True):
         super().__init__()
         self.norm_s_attn = RefFP32LayerNorm(WIDTH, eps=1e-5)
-        self.s_attn = RefAttention(WIDTH)
+        self.s_attn = RefAttention(WIDTH, qk_norm=qk_norm)
         self.norm_x_attn = RefFP32LayerNorm(WIDTH, eps=1e-5)
-        self.x_attn = RefAttention(WIDTH, cross_dim=CROSS_DIM)
+        self.x_attn = RefAttention(WIDTH, cross_dim=CROSS_DIM, qk_norm=qk_norm)
         self.norm_ff = RefFP32LayerNorm(WIDTH, eps=1e-5)
         # diffusers FeedForward('gelu'): net.0 = GELU(proj), net.2 = Linear
         self.ff = nn.ModuleDict(
@@ -146,7 +146,7 @@ class RefBlock(nn.Module):
 
 
 class RefDenoiser(nn.Module):
-    def __init__(self):
+    def __init__(self, qk_norm=True):
         super().__init__()
         self.time_proj = nn.ModuleDict(
             {
@@ -156,7 +156,10 @@ class RefDenoiser(nn.Module):
         )
         self.proj_in = nn.Linear(IN_CH, WIDTH)
         self.blocks = nn.ModuleList(
-            [RefBlock(skip=layer > LAYERS // 2) for layer in range(LAYERS)]
+            [
+                RefBlock(skip=layer > LAYERS // 2, qk_norm=qk_norm)
+                for layer in range(LAYERS)
+            ]
         )
         self.norm_out = nn.LayerNorm(WIDTH)
         self.proj_out = nn.Linear(WIDTH, IN_CH)
