@@ -99,6 +99,12 @@ class CascadeSpec:
     stage0_guidance: float = 2.0
     stage0_dense_depth: int = 7
     stage0_hier_depth: int = 8
+    # runtime (mid-scale runs flip these to "auto"/"bfloat16" so the
+    # production flash kernel + bf16-with-fp32-islands numerics are in the
+    # loop — round-4 verdict item 2: width-128 fp32 evidence cannot see
+    # precision bugs that only exist at production width)
+    attn_impl: str = "chunked"
+    compute_dtype: str = "float32"
 
     # -- derived configs ----------------------------------------------------
 
@@ -124,8 +130,8 @@ class CascadeSpec:
             "sliding_window_autoencoder": self.window - 1,
             "scheduler.num_inference_steps": self.num_inference_steps,
             "cf_guidance.guidance_scales": [self.guidance_scale],
-            "attn_impl": "chunked",
-            "compute_dtype": "float32",
+            "attn_impl": self.attn_impl,
+            "compute_dtype": self.compute_dtype,
         }
 
     def denoiser_config(self):
