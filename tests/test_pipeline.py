@@ -260,3 +260,50 @@ def test_all_presets_load_and_compose():
     assert cfgs["actionmesh_fast_lowram"].scheduler.split_cfg_batch is True
     assert cfgs["actionmesh_fast_lowram"].scheduler.num_inference_steps == 15
     assert cfgs["actionmesh"].scheduler.split_cfg_batch is False
+
+
+def test_stage0_decode_knobs_reach_image_to_3d():
+    """stage_0.prefilter_octree_depth / coarse_decode_dtype flow from the
+    config layer to the image-to-3D backend call (and are omitted when
+    unset, keeping backends with strict signatures working)."""
+    import jax.numpy as jnp
+
+    from actionmesh_tpu.io.video_input import ActionMeshInput
+    from actionmesh_tpu.models.stage0 import make_uv_sphere
+
+    class RecordingStage0:
+        def __init__(self):
+            self.kwargs = None
+
+        def __call__(self, image, **kwargs):
+            self.kwargs = kwargs
+            return jnp.zeros((1, 16, 8), jnp.float32), make_uv_sphere(
+                n_lat=6, n_lon=8
+            )
+
+    for updates, expect in (
+        (
+            {"stage_0.prefilter_octree_depth": 6,
+             "stage_0.coarse_decode_dtype": "bfloat16"},
+            {"prefilter_octree_depth": 6, "coarse_decode_dtype": "bfloat16"},
+        ),
+        ({}, {}),
+    ):
+        pipe = ActionMeshPipeline(
+            config_name="actionmesh",
+            weights_dir=None,
+            config_updates=dict(TINY_UPDATES, **updates),
+            dtype=jnp.float32,
+        )
+        rec = RecordingStage0()
+        pipe.image_to_3d = rec
+        inp = ActionMeshInput(
+            frames=make_frames(16),
+            timesteps=np.arange(16, dtype=np.float32),
+        )
+        pipe.init_banks_from_anchor(inp, seed=0)
+        got = {
+            k: v for k, v in rec.kwargs.items()
+            if k in ("prefilter_octree_depth", "coarse_decode_dtype")
+        }
+        assert got == expect, rec.kwargs
