@@ -265,7 +265,10 @@ def test_all_presets_load_and_compose():
 def test_stage0_decode_knobs_reach_image_to_3d():
     """stage_0.prefilter_octree_depth / coarse_decode_dtype flow from the
     config layer to the image-to-3D backend call (and are omitted when
-    unset, keeping backends with strict signatures working)."""
+    explicitly nulled, keeping backends with strict signatures working).
+    The base preset ships prefilter_octree_depth: 6 (DECODE_LEVERS.json:
+    exact-agreement 1.7x decode speedup), so the no-override case carries
+    that default."""
     import jax.numpy as jnp
 
     from actionmesh_tpu.io.video_input import ActionMeshInput
@@ -287,7 +290,8 @@ def test_stage0_decode_knobs_reach_image_to_3d():
              "stage_0.coarse_decode_dtype": "bfloat16"},
             {"prefilter_octree_depth": 6, "coarse_decode_dtype": "bfloat16"},
         ),
-        ({}, {}),
+        ({}, {"prefilter_octree_depth": 6}),
+        ({"stage_0.prefilter_octree_depth": None}, {}),
     ):
         pipe = ActionMeshPipeline(
             config_name="actionmesh",
