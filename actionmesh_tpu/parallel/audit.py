@@ -419,14 +419,16 @@ def check_megatron_invariants(stage1_report: dict, tp: int) -> list[str]:
     return fails
 
 
-def check_sp_invariants(stage1_report: dict, sp: int) -> list[str]:
+def check_sp_invariants(stage1_report: dict, sp: int, tp: int = 2) -> list[str]:
     """Failures list (empty = pass) for a (dp, tp, sp) layout:
       * ring KV rotation present: >= one collective-permute per inflated
         self-attention call per ring step (21 layers x (sp-1) rounds, k+v
         at minimum),
       * NO full-sequence activation all-gather (GSPMD silently de-sharding
         the sp axis would reconstruct the 33k-token activations), and
-      * the Megatron reduces did not disappear (tp partitioning intact).
+      * the Megatron reduces did not disappear (tp partitioning intact;
+        skipped when tp == 1 — a pure dp x sp layout has no tp reduces
+        by design, its weights replicate).
     """
     fails: list[str] = []
     if "collectives" not in stage1_report:
@@ -455,7 +457,7 @@ def check_sp_invariants(stage1_report: dict, sp: int) -> list[str]:
         c["bytes"] for c in colls
         if c["kind"] in ("all-reduce", "reduce-scatter")
     )
-    if reduce_bytes == 0:
+    if reduce_bytes == 0 and tp > 1:
         fails.append("stage1 sp: no reduce traffic — tp partitioning missing")
     # Per-layer per-frame activation re-gathers (the r3c "spatial reshard"
     # pathology, fixed in r4 by batch-over-sp sharding of per-frame ops):

@@ -587,23 +587,33 @@ class ActionMeshPipeline:
         input = ActionMeshInput(
             frames=list(input.frames), timesteps=input.timesteps.copy()
         )
+        t0 = time.perf_counter()
         input.frames = self.background_removal.process_images(input.frames)
         input.frames = self.image_process.process_images(input.frames)
+        t1 = time.perf_counter()
+        logger.info("phase preprocess: %.2fs", t1 - t0)
 
         # -- Stage 0: anchor 3D mesh + latent
         latent_bank, mesh_bank = self.init_banks_from_anchor(input, seed)
+        t2 = time.perf_counter()
+        logger.info("phase stage0: %.2fs", t2 - t1)
 
         # -- Conditioning features for all frames
         context = self.encode_all_frames(input)
+        t3 = time.perf_counter()
+        logger.info("phase encode: %.2fs", t3 - t2)
 
         # -- Stage I: synchronized 3D latents
         latent_bank = self.generate_3d_latents(
             input, context=context, latent_bank=latent_bank, seed=seed
         )
+        t4 = time.perf_counter()
+        logger.info("phase stage1: %.2fs", t4 - t3)
 
         # -- Stage II: mesh animation
         mesh_bank = self.generate_mesh_animation(
             latent_bank=latent_bank, mesh_bank=mesh_bank
         )
+        logger.info("phase stage2: %.2fs", time.perf_counter() - t4)
 
         return mesh_bank.get_ordered()[0]

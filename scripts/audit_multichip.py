@@ -83,6 +83,20 @@ def main() -> None:
           f"{s1_sp.get('compile_s')}s, summary "
           f"{json.dumps(s1_sp.get('summary', {}))}")
 
+    # Pure dp x sp layout (no tp): r5e measured that tp-sharded gemm
+    # shapes run at materially lower MXU efficiency than full-width ones
+    # (SHARD_COMPUTE.json: cross_kv 8.9 TF/s vs ~190 full-width), so a
+    # layout that keeps every weight replicated and shards only batch
+    # rows (dp) + sequence rows (sp ring attention) trades ICI reduces
+    # for full-width gemms. Audit it at production shape.
+    sp4_mesh = make_mesh(n_devices=n_devices, dp=2, tp=1, sp=4)
+    s1_sp4 = audit_stage1(sp4_mesh)
+    s1_sp4["name"] = "stage1_denoise_window_dp2xsp4"
+    s1_sp4["mesh"] = {"dp": 2, "tp": 1, "sp": 4}
+    print(f"Stage I (dp2xsp4): lowered {s1_sp4['lower_s']}s, compiled "
+          f"{s1_sp4.get('compile_s')}s, summary "
+          f"{json.dumps(s1_sp4.get('summary', {}))}")
+
     # Distilled single-branch program (configs/actionmesh_distilled.yaml):
     # no CFG pair, so the 8 chips all go to tp — audit the tp8 layout.
     tp8_mesh = make_mesh(n_devices=n_devices, dp=1)
@@ -104,14 +118,16 @@ def main() -> None:
 
     fails = check_megatron_invariants(s1, tp)
     fails += check_sp_invariants(s1_sp, sp=2)
+    fails += check_sp_invariants(s1_sp4, sp=4, tp=1)
     fails += check_megatron_invariants(s1_d, 8)
     fails += check_train_invariants(tr, tp)
     report = {
         "mesh": {"dp": int(dp), "tp": int(tp)},
-        "programs": [s1, s2, s1_sp, s1_d, tr],
+        "programs": [s1, s2, s1_sp, s1_sp4, s1_d, tr],
         "invariant_failures": fails,
         "ici_estimate": ici_estimate(s1, tp),
         "ici_estimate_sp": ici_estimate_sp(s1_sp, tp=2, sp=2),
+        "ici_estimate_sp4": ici_estimate_sp(s1_sp4, tp=1, sp=4),
         "ici_estimate_distilled_tp8": ici_estimate(s1_d, 8),
     }
     out_path = os.path.join(REPO, "MULTICHIP_AUDIT.json")

@@ -79,6 +79,11 @@ LAYOUTS = {
                 "audit_key": "ici_estimate"},
     "dp2xtp2xsp2": {"dp": 2, "tp": 2, "sp": 2, "branches": 2,
                     "audit_key": "ici_estimate_sp"},
+    # pure dp x sp: no tp, weights replicate, every gemm at FULL width
+    # (r5e found tp-sharded gemm shapes lose MXU efficiency); ICI is the
+    # overlappable ring-KV ppermute surface only
+    "dp2xsp4": {"dp": 2, "tp": 1, "sp": 4, "branches": 2,
+                "audit_key": "ici_estimate_sp4"},
     # distilled/turbo: single guidance-free branch, all 8 chips on tp
     "tp8_distilled": {"dp": 1, "tp": 8, "sp": 1, "branches": 1,
                       "audit_key": "ici_estimate_distilled_tp8"},
@@ -210,7 +215,7 @@ def main() -> None:
     # (optimistic: the SDF grid rows shard over 8 chips; Stage-0 DiT tp
     # shards; host work fixed).
     best_default = min(
-        ("dp2xtp4", "dp2xtp2xsp2"),
+        ("dp2xtp4", "dp2xtp2xsp2", "dp2xsp4"),
         key=lambda l: report["layouts"][l]["step_seconds"]["central"],
     )
     d = report["layouts"][best_default]["step_seconds"]
