@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import functools
 import logging
+import time
 from pathlib import Path
 from typing import Optional
 
@@ -42,6 +43,7 @@ from actionmesh_tpu.models.triposg.vae import (
 )
 from actionmesh_tpu.ops.isosurface import hierarchical_extract_geometry
 from actionmesh_tpu.sampling.flow_schedule import get_schedule
+from actionmesh_tpu.utils import device_sync
 
 logger = logging.getLogger(__name__)
 
@@ -348,7 +350,10 @@ class TripoSGPipeline:
         guidance-distilled Stage-0 checkpoint (config knob
         ``stage_0.guidance_scale: 0``).
         """
+        t0 = time.perf_counter()
         context = self.image_encoder.encode_images([image])  # (1, S, Dc)
+        t1 = time.perf_counter()
+        logger.info("stage0 encode_image: %.2fs", t1 - t0)
         key = jax.random.PRNGKey(seed)
         noise = jax.random.normal(
             key,
@@ -380,6 +385,13 @@ class TripoSGPipeline:
                 mesh=self.device_mesh,
             )
             done += seg
+        # block_until_ready does not synchronize through the axon tunnel;
+        # force a device->host transfer so the phase split is real
+        device_sync(latents)
+        t2 = time.perf_counter()
+        logger.info(
+            "stage0 dit_sample (%d steps): %.2fs", num_inference_steps, t2 - t1
+        )
         meshes = self.decode_latents(
             latents,
             bounds=bounds,
@@ -388,6 +400,7 @@ class TripoSGPipeline:
             prefilter_octree_depth=prefilter_octree_depth,
             coarse_decode_dtype=coarse_decode_dtype,
         )
+        logger.info("stage0 decode_latents: %.2fs", time.perf_counter() - t2)
         return latents.astype(jnp.float32), meshes[0]
 
     # ------------------------------------------------------------------

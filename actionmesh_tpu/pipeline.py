@@ -299,6 +299,7 @@ class ActionMeshPipeline:
             decode_kwargs["coarse_decode_dtype"] = (
                 self.cfg.stage_0.coarse_decode_dtype
             )
+        t0 = time.perf_counter()
         anchor_latent, anchor_mesh = self.image_to_3d(
             image=input.frames[self.cfg.anchor_idx],
             seed=seed,
@@ -306,7 +307,10 @@ class ActionMeshPipeline:
             guidance_scale=self.cfg.stage_0.guidance_scale,
             **decode_kwargs,
         )
+        t1 = time.perf_counter()
+        logger.info("stage0 image_to_3d: %.2fs", t1 - t0)
         anchor_mesh = self.mesh_process.process_mesh(anchor_mesh, seed=seed)
+        logger.info("stage0 process_mesh: %.2fs", time.perf_counter() - t1)
 
         latent_bank = LatentBank(
             empty_dims=self._denoiser_latent_shape, verbose=True
