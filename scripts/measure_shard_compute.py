@@ -222,6 +222,11 @@ def main() -> None:
     residual_hi, residual_lo = 14.0, 6.0
     report["default_preset_v5e8_projection"] = {
         "layout": best_default,
+        # sp4 replicates weights and its CPU-audited temp bound exceeds
+        # the conservative 14 GB gate (bf16-adjusted ~9.1 GB fits);
+        # flagged until on-silicon compilation certifies it
+        **({"memory_caveat": "audit memory_warnings apply"}
+           if best_default == "dp2xsp4" else {}),
         "stage1_steps": 60,
         "residual_seconds_band": [residual_lo, residual_hi],
         "e2e_lo": round(60 * d["lo"] + residual_lo, 1),
