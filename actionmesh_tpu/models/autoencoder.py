@@ -181,6 +181,32 @@ def autoencoder_forward(
     Returns:
         displacement (B, T_out, V, out_dim) in (-1, 1).
     """
+    def constrain_target_batch(x):
+        """Shard the folded (B*T_out) target-batch axis over dp (+ the
+        otherwise-idle sp axis): each target's KV stack is independent
+        (see r5c analysis — no exact prefix cache exists), so targets are
+        embarrassingly parallel. Without the explicit constraint GSPMD is
+        free to replicate the folded batch and only tp-shard heads, which
+        wastes the dp/sp chips in multichip decode. No-op off-mesh or
+        when the axis sizes don't divide the batch (pick a
+        decode_target_chunk divisible by dp*sp for multichip serving)."""
+        if mesh is None:
+            return x
+        sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+        axes = tuple(a for a in ("dp", "sp") if sizes.get(a, 1) > 1)
+        if not axes:
+            return x
+        n_shards = 1
+        for a in axes:
+            n_shards *= sizes[a]
+        if x.shape[0] % n_shards:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P(axes if len(axes) > 1 else axes[0]))
+        )
+
     assert target_alphas.ndim == 2 and source_alpha.ndim == 1
     B, T, N, _ = latent.shape
     _, T_out = target_alphas.shape
@@ -221,7 +247,9 @@ def autoencoder_forward(
     alpha_b = jnp.broadcast_to(
         alpha_embedded[:, :, None, :], (B, T_out, T, cfg.width)
     ).reshape(B * T_out, T, cfg.width)
-    x = jnp.concatenate([latent_b, alpha_b], axis=1)  # (B*T_out, S, W)
+    x = constrain_target_batch(
+        jnp.concatenate([latent_b, alpha_b], axis=1)
+    )  # (B*T_out, S, W)
 
     # RoPE tables are identical across targets; avoid materializing them per
     # batch item (15 x 33k x 128 fp32 would be ~2.5 GB). With B==1 a 2-D
@@ -254,9 +282,11 @@ def autoencoder_forward(
     kv_cache = x.astype(jnp.float32)
     query_embed = embed_queries(cfg, query)  # (B, V, Dq) fp32
     queries = linear(params["proj_query"], query_embed)
-    queries_b = jnp.broadcast_to(
-        queries[:, None], (B, T_out) + queries.shape[1:]
-    ).reshape(B * T_out, V, cfg.width)
+    queries_b = constrain_target_batch(
+        jnp.broadcast_to(
+            queries[:, None], (B, T_out) + queries.shape[1:]
+        ).reshape(B * T_out, V, cfg.width)
+    )
 
     logits = flow_matching_block(
         params["blocks"][-1],

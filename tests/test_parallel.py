@@ -527,3 +527,55 @@ def test_sharded_sdf_grid_eval_matches_unsharded():
         )
     )
     np.testing.assert_allclose(sharded_vals, ref_vals, rtol=1e-4, atol=1e-5)
+
+
+def test_stage2_target_batch_dp_shards_and_matches():
+    """The folded (B*T_out) Stage-II target batch must dp-shard under a
+    mesh (targets are independent — autoencoder.constrain_target_batch);
+    the compiled per-device shapes prove it, and the sharded result must
+    match the unsharded decode exactly in structure and numerically."""
+    import re
+
+    from actionmesh_tpu.models.autoencoder import (
+        AutoencoderConfig,
+        autoencoder_forward,
+        init_autoencoder,
+    )
+    from actionmesh_tpu.parallel.mesh import make_mesh
+
+    cfg = AutoencoderConfig(
+        temporal_context_size=4, latent_channels=8, width=64,
+        num_layers=2, num_attention_heads=2,
+    )
+    params = init_autoencoder(jax.random.PRNGKey(0), cfg)
+    B, T, N, V, T_out = 1, 4, 16, 64, 4
+    lat = jax.random.normal(jax.random.PRNGKey(1), (B, T, N, 8))
+    fs = jnp.arange(T, dtype=jnp.float32)[None]
+    sa = jnp.zeros((B,))
+    ta = jnp.linspace(0.2, 1.0, T_out)[None]
+    q = jax.random.uniform(jax.random.PRNGKey(2), (B, V, 6), minval=-1, maxval=1)
+
+    ref = np.asarray(
+        autoencoder_forward(params, cfg, lat, fs, sa, ta, q, attn_impl="chunked")
+    )
+
+    mesh = make_mesh(8)  # dp2 x tp4
+    fn = jax.jit(
+        autoencoder_forward,
+        static_argnames=("cfg", "attn_impl", "compute_dtype", "mesh"),
+    )
+    compiled = fn.lower(
+        params, cfg, lat, fs, sa, ta, q, attn_impl="chunked", mesh=mesh
+    ).compile()
+    txt = compiled.as_text()
+    # S = T*N + T = 68; folded batch 4 -> 2 rows per dp shard
+    assert re.search(r"\[2,68,64\]", txt), "no dp-sharded sequence ops"
+    assert not re.search(r"\[4,68,64\]", txt), (
+        "replicated folded-batch ops remain — constrain_target_batch inactive"
+    )
+    out = np.asarray(
+        autoencoder_forward(
+            params, cfg, lat, fs, sa, ta, q, attn_impl="chunked", mesh=mesh
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
