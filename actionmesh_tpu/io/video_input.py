@@ -44,15 +44,21 @@ class ActionMeshInput:
     timesteps: np.ndarray
 
     def __post_init__(self) -> None:
+        # user-input contract: ValueError (not assert) so validation
+        # survives python -O and maps to a 400 at the serving layer
         self.timesteps = np.asarray(self.timesteps, dtype=np.float32)
-        assert (
-            len(self.frames) >= MIN_FRAMES
-        ), f"At least {MIN_FRAMES} frames are required, got {len(self.frames)}"
-        assert self.timesteps.ndim == 1, "Expected 1D timesteps"
-        assert len(self.frames) == self.timesteps.shape[0], (
-            f"Number of frames ({len(self.frames)}) must match timesteps "
-            f"({self.timesteps.shape[0]})"
-        )
+        if len(self.frames) < MIN_FRAMES:
+            raise ValueError(
+                f"At least {MIN_FRAMES} frames are required, "
+                f"got {len(self.frames)}"
+            )
+        if self.timesteps.ndim != 1:
+            raise ValueError("Expected 1D timesteps")
+        if len(self.frames) != self.timesteps.shape[0]:
+            raise ValueError(
+                f"Number of frames ({len(self.frames)}) must match "
+                f"timesteps ({self.timesteps.shape[0]})"
+            )
 
     @property
     def n_frames(self) -> int:

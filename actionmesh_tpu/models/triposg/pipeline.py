@@ -500,6 +500,23 @@ class TripoSGPipeline:
                         )
                     )
 
+            # sign-only variant for the prefilter coarse/band passes —
+            # without this the bf16 knob would only touch the 65^3
+            # prefilter grid, not the ~1M band sign queries (r5 review)
+            ids_val_coarse_fn = None
+            if ids_val_fn is not None and coarse_cd is not None:
+
+                def ids_val_coarse_fn(ijk, lo, fine_step):
+                    return np.asarray(
+                        query_sdf_at_ids(
+                            self.vae_params, self.vae_cfg, kv,
+                            jnp.asarray(ijk), jnp.asarray(lo),
+                            jnp.asarray(fine_step),
+                            attn_impl=self._attn_impl, regularizer=reg_jax,
+                            mesh=self.device_mesh, compute_dtype=coarse_cd,
+                        )
+                    )
+
             v, f = hierarchical_extract_geometry(
                 sdf_fn,
                 bounds=bounds,
@@ -508,6 +525,7 @@ class TripoSGPipeline:
                 grid_inside_fn=grid_inside_fn,
                 ids_val_fn=ids_val_fn,
                 prefilter_octree_depth=prefilter_octree_depth,
+                ids_val_coarse_fn=ids_val_coarse_fn,
             )
             if len(f) == 0:
                 logger.warning(

@@ -392,7 +392,9 @@ def query_sdf_grid_inside(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "chunk", "attn_impl", "regularizer", "mesh"),
+    static_argnames=(
+        "cfg", "chunk", "attn_impl", "regularizer", "mesh", "compute_dtype",
+    ),
 )
 def query_sdf_at_ids(
     params: Params,
@@ -405,6 +407,7 @@ def query_sdf_at_ids(
     attn_impl: str = "auto",
     regularizer=None,
     mesh=None,
+    compute_dtype=None,
 ) -> jnp.ndarray:
     """SDF values at lattice ids ``ijk`` (M, 3) int32, one dispatch.
 
@@ -414,6 +417,11 @@ def query_sdf_at_ids(
     (needed for marching-cubes interpolation) come back in one transfer.
     ``M`` must be a multiple of ``chunk`` (pad host-side; padded entries
     return field values that the caller discards).
+
+    ``compute_dtype`` (e.g. bf16) applies the same reduced-precision
+    query as :func:`query_sdf_grid_inside` — ONLY for callers that
+    consume signs (the prefilter band pass); marching-cubes value
+    queries must leave it None (fp32).
     """
     lo = lo.astype(jnp.float32)
     fine_step = fine_step.astype(jnp.float32)
@@ -421,7 +429,10 @@ def query_sdf_at_ids(
 
     def body(carry, blk):
         pts = lo[None, :] + blk.astype(jnp.float32) * fine_step[None, :]
-        vals = _query_chunk(params, cfg, kv, pts, attn_impl, mesh)
+        vals = _query_chunk(
+            params, cfg, kv, pts, attn_impl, mesh,
+            compute_dtype=compute_dtype,
+        )
         if regularizer is not None:
             vals = regularizer(pts, vals)
         return carry, vals.astype(jnp.float32)

@@ -336,6 +336,7 @@ def hierarchical_extract_geometry(
     grid_inside_fn: Optional[Callable] = None,
     ids_val_fn: Optional[Callable] = None,
     prefilter_octree_depth: Optional[int] = None,
+    ids_val_coarse_fn: Optional[Callable] = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Coarse dense pass + fine re-evaluation only in surface-crossing cells.
 
@@ -387,17 +388,22 @@ def hierarchical_extract_geometry(
         pts[:, 2] = lo[2] + k * step[2]
         return pts
 
-    def _vals_at_ids(ui, uj, uk, step_arr) -> np.ndarray:
+    def _vals_at_ids(ui, uj, uk, step_arr, fn=None) -> np.ndarray:
         """Field values at integer lattice ids on a grid of step
-        ``step_arr`` anchored at ``lo`` (device fast path when given)."""
-        if ids_val_fn is not None:
+        ``step_arr`` anchored at ``lo`` (device fast path when given).
+        ``fn`` overrides the query function — the prefilter coarse/band
+        passes consume only SIGNS, so the caller may supply a reduced-
+        precision variant (``ids_val_coarse_fn``); the fine pass (MC
+        interpolation values) always uses the fp32 ``ids_val_fn``."""
+        fn = fn or ids_val_fn
+        if fn is not None:
             m = len(ui)
             m_pad = -(-m // chunk) * chunk
             ijk = np.zeros((m_pad, 3), np.int32)
             ijk[:m, 0] = ui
             ijk[:m, 1] = uj
             ijk[:m, 2] = uk
-            return np.asarray(ids_val_fn(ijk, lo, step_arr), np.float32)[:m]
+            return np.asarray(fn(ijk, lo, step_arr), np.float32)[:m]
         pts = np.empty((len(ui), 3), np.float32)
         pts[:, 0] = lo[0] + np.asarray(ui) * step_arr[0]
         pts[:, 1] = lo[1] + np.asarray(uj) * step_arr[1]
@@ -426,7 +432,8 @@ def hierarchical_extract_geometry(
             )
         else:
             pvals = _vals_at_ids(
-                *np.unravel_index(np.arange(Rp**3), (Rp, Rp, Rp)), step_p
+                *np.unravel_index(np.arange(Rp**3), (Rp, Rp, Rp)), step_p,
+                fn=ids_val_coarse_fn,
             )
             inside_p = (pvals.reshape(Rp, Rp, Rp) < level).view(np.uint8)
         band = _dilate_cells(_cell_crossing_mask(inside_p))
@@ -441,7 +448,8 @@ def hierarchical_extract_geometry(
         band_ids = (bi * Rc + bj) * Rc + bk  # (Cp, s0+1, s0+1, s0+1)
         uniq_b, inv_b = np.unique(band_ids.reshape(-1), return_inverse=True)
         bvals = _vals_at_ids(
-            uniq_b // (Rc * Rc), (uniq_b // Rc) % Rc, uniq_b % Rc, step
+            uniq_b // (Rc * Rc), (uniq_b // Rc) % Rc, uniq_b % Rc, step,
+            fn=ids_val_coarse_fn,
         )
         sub_in = (bvals[inv_b] < level).reshape(band_ids.shape)
         # dense-depth crossing sub-cells within the band

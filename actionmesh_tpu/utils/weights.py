@@ -72,7 +72,14 @@ def check_finite_state(state: dict, source: str = "<state dict>") -> None:
         a = np.asarray(v)
         if not np.issubdtype(a.dtype, np.floating):
             continue
-        n = int(a.size - np.isfinite(a.astype(np.float32, copy=False)).sum())
+        # np.isfinite handles fp16/32/64 natively (an f32 upcast would
+        # both copy multi-GB checkpoints and turn finite f64 values above
+        # f32-max into false inf); only non-native dtypes (bf16, fp8)
+        # need the upcast
+        if a.dtype in (np.float16, np.float32, np.float64):
+            n = int(a.size - np.isfinite(a).sum())
+        else:
+            n = int(a.size - np.isfinite(a.astype(np.float32)).sum())
         if n:
             bad.append(f"{k}: {n}/{a.size} non-finite ({a.dtype}, shape {tuple(a.shape)})")
     if bad:

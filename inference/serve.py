@@ -152,9 +152,12 @@ def make_handler(server: ActionMeshServer):
                 n = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(n) or b"{}")
                 self._send(200, server.handle(req))
-            except (ValueError, FileNotFoundError, AssertionError) as e:
-                # AssertionError: input validation (e.g. MIN_FRAMES in
-                # io/video_input.py) — a client error, not a server fault
+            except (ValueError, FileNotFoundError) as e:
+                # input-validation errors (ValueError from ActionMeshInput /
+                # load_frames / request parsing) are client errors; internal
+                # AssertionErrors deliberately fall through to the 500 path
+                # below so invariant violations are logged, not masked as
+                # bad requests (r5 code-review finding)
                 self._send(400, {"status": "error", "error": str(e)})
             except Exception as e:  # keep the server alive on request failure
                 logger.exception("request failed")

@@ -99,7 +99,10 @@ def time_gemm(m: int, k: int, n: int, calls: int, dtype=jnp.bfloat16):
     @jax.jit
     def run(x, w):
         def body(c, _):
-            y = (x * c) @ w
+            # cast the carry into x.dtype BEFORE the multiply: an f32
+            # carry would promote the whole gemm to f32 operands and
+            # double the bytes moved (r5 code-review finding)
+            y = (x * c.astype(x.dtype)) @ w
             return jnp.mean(y).astype(jnp.float32), None
 
         c, _ = jax.lax.scan(body, jnp.float32(1.0), None, length=calls)
@@ -137,7 +140,7 @@ def time_flash_shard(dp: int, tp: int, sp: int, branches: int, calls: int):
     @jax.jit
     def run(q, k, v):
         def body(c, _):
-            o = dot_product_attention(q * c, k, v, impl="flash")
+            o = dot_product_attention(q * c.astype(q.dtype), k, v, impl="flash")
             return jnp.mean(o).astype(jnp.float32), None
 
         c, _ = jax.lax.scan(body, jnp.float32(1.0), None, length=calls)

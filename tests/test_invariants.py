@@ -23,19 +23,19 @@ def _frames(n):
 
 class TestInputContract:
     def test_min_frames_enforced(self):
-        with pytest.raises(AssertionError, match="At least 16 frames"):
+        with pytest.raises(ValueError, match="At least 16 frames"):
             ActionMeshInput(
                 frames=_frames(8), timesteps=np.arange(8, dtype=np.float32)
             )
 
     def test_frame_timestep_length_mismatch(self):
-        with pytest.raises(AssertionError, match="must match timesteps"):
+        with pytest.raises(ValueError, match="must match timesteps"):
             ActionMeshInput(
                 frames=_frames(16), timesteps=np.arange(17, dtype=np.float32)
             )
 
     def test_timesteps_must_be_1d(self):
-        with pytest.raises(AssertionError, match="1D timesteps"):
+        with pytest.raises(ValueError, match="1D timesteps"):
             ActionMeshInput(
                 frames=_frames(16),
                 timesteps=np.zeros((16, 1), dtype=np.float32),
