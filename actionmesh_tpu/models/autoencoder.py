@@ -208,6 +208,24 @@ def autoencoder_forward(
         )
 
     assert target_alphas.ndim == 2 and source_alpha.ndim == 1
+
+    # Pad T_out up to a multiple of the mesh's dp*sp shards so the folded
+    # target batch always shards (production T_out=15 would otherwise not
+    # divide dp=2 and silently replicate); padded targets repeat the last
+    # alpha and their outputs are sliced off below.
+    n_target_shards = 1
+    if mesh is not None:
+        sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+        for a in ("dp", "sp"):
+            n_target_shards *= sizes.get(a, 1)
+    T_out_real = target_alphas.shape[1]
+    pad_t = (-T_out_real) % n_target_shards
+    if pad_t:
+        target_alphas = jnp.concatenate(
+            [target_alphas,
+             jnp.repeat(target_alphas[:, -1:], pad_t, axis=1)], axis=1
+        )
+
     B, T, N, _ = latent.shape
     _, T_out = target_alphas.shape
     V = query.shape[1]
@@ -300,4 +318,5 @@ def autoencoder_forward(
     logits = logits * -1.0  # sign flip (temporal_autoencoder.py:160)
 
     displacement = 2.0 * jax.nn.sigmoid(logits) - 1.0
-    return displacement.reshape(B, T_out, V, cfg.out_dim)
+    out = displacement.reshape(B, T_out, V, cfg.out_dim)
+    return out[:, :T_out_real] if pad_t else out

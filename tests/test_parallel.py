@@ -579,3 +579,40 @@ def test_stage2_target_batch_dp_shards_and_matches():
         )
     )
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_stage2_nondivisible_targets_pad_and_match():
+    """Production T_out=15 does not divide dp=2: autoencoder_forward must
+    PAD the folded target batch to shard it (not silently replicate), and
+    the sliced result must match the unsharded decode."""
+    from actionmesh_tpu.models.autoencoder import (
+        AutoencoderConfig,
+        autoencoder_forward,
+        init_autoencoder,
+    )
+    from actionmesh_tpu.parallel.mesh import make_mesh
+
+    cfg = AutoencoderConfig(
+        temporal_context_size=4, latent_channels=8, width=64,
+        num_layers=2, num_attention_heads=2,
+    )
+    params = init_autoencoder(jax.random.PRNGKey(0), cfg)
+    B, T, N, V, T_out = 1, 4, 16, 64, 3  # 3 % dp(2) != 0
+    lat = jax.random.normal(jax.random.PRNGKey(1), (B, T, N, 8))
+    fs = jnp.arange(T, dtype=jnp.float32)[None]
+    sa = jnp.zeros((B,))
+    ta = jnp.linspace(0.2, 1.0, T_out)[None]
+    q = jax.random.uniform(jax.random.PRNGKey(2), (B, V, 6), minval=-1, maxval=1)
+
+    ref = np.asarray(
+        autoencoder_forward(params, cfg, lat, fs, sa, ta, q, attn_impl="chunked")
+    )
+    assert ref.shape == (B, T_out, V, 3)
+    mesh = make_mesh(8)  # dp2 x tp4
+    out = np.asarray(
+        autoencoder_forward(
+            params, cfg, lat, fs, sa, ta, q, attn_impl="chunked", mesh=mesh
+        )
+    )
+    assert out.shape == (B, T_out, V, 3)
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
