@@ -182,42 +182,37 @@ def autoencoder_forward(
         displacement (B, T_out, V, out_dim) in (-1, 1).
     """
     def constrain_target_batch(x):
-        """Shard the folded (B*T_out) target-batch axis over dp (+ the
-        otherwise-idle sp axis): each target's KV stack is independent
-        (see r5c analysis — no exact prefix cache exists), so targets are
-        embarrassingly parallel. Without the explicit constraint GSPMD is
-        free to replicate the folded batch and only tp-shard heads, which
-        wastes the dp/sp chips in multichip decode. No-op off-mesh or
-        when the axis sizes don't divide the batch (pick a
-        decode_target_chunk divisible by dp*sp for multichip serving)."""
+        """Shard the folded (B*T_out) target-batch axis over dp: each
+        target's KV stack is independent (see r5c analysis — no exact
+        prefix cache exists), so targets are embarrassingly parallel.
+        Without the explicit constraint GSPMD is free to replicate the
+        folded batch and only tp-shard heads, which wastes the dp chips
+        in multichip decode. dp ONLY — the sp axis belongs to the
+        attention dispatch's own ring schedule over the [T*N | T]
+        sequence (ops/attention.py rings when S % sp == 0; pinning batch
+        over sp here would fight it with per-layer reshards). No-op
+        off-mesh or when dp doesn't divide the padded batch."""
         if mesh is None:
             return x
         sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
-        axes = tuple(a for a in ("dp", "sp") if sizes.get(a, 1) > 1)
-        if not axes:
-            return x
-        n_shards = 1
-        for a in axes:
-            n_shards *= sizes[a]
-        if x.shape[0] % n_shards:
+        if sizes.get("dp", 1) <= 1 or x.shape[0] % sizes["dp"]:
             return x
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         return jax.lax.with_sharding_constraint(
-            x, NamedSharding(mesh, P(axes if len(axes) > 1 else axes[0]))
+            x, NamedSharding(mesh, P("dp"))
         )
 
     assert target_alphas.ndim == 2 and source_alpha.ndim == 1
 
-    # Pad T_out up to a multiple of the mesh's dp*sp shards so the folded
+    # Pad T_out up to a multiple of the mesh's dp shards so the folded
     # target batch always shards (production T_out=15 would otherwise not
     # divide dp=2 and silently replicate); padded targets repeat the last
     # alpha and their outputs are sliced off below.
     n_target_shards = 1
     if mesh is not None:
         sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
-        for a in ("dp", "sp"):
-            n_target_shards *= sizes.get(a, 1)
+        n_target_shards = sizes.get("dp", 1)
     T_out_real = target_alphas.shape[1]
     pad_t = (-T_out_real) % n_target_shards
     if pad_t:
