@@ -178,3 +178,24 @@ def test_artifacts_written_per_request_output_dir(serve, tmp_path):
     assert (out / "animated_mesh.glb").exists()
     v = np.load(body["artifacts"]["deformation_vertices"])
     assert v.shape[0] == 16 and np.isfinite(v).all()
+
+
+def test_internal_assertion_is_500_not_400(serve):
+    """Internal invariant violations (AssertionError) are server faults:
+    they must return 500 with the error logged, never be masked as a 400
+    client error (r5 code-review finding). Client input errors raise
+    ValueError (io/video_input.py) and keep mapping to 400."""
+    url, pipe, frames, out = serve
+    pipe.fail_next = AssertionError("bank invariant violated")
+    status, body = _post(
+        f"{url}/v1/video_to_4d", {"input": frames, "output_dir": out}
+    )
+    assert status == 500
+    assert body["status"] == "error"
+    assert "bank invariant violated" in body["error"]
+
+    # server survives and the device lock is released
+    status, body = _post(
+        f"{url}/v1/video_to_4d", {"input": frames, "output_dir": out}
+    )
+    assert status == 200, body
