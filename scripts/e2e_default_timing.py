@@ -16,11 +16,16 @@ from __future__ import annotations
 
 import argparse
 import json
+import logging
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# per-phase breakdown comes from the pipeline's own INFO timing logs
+# (pipeline.__call__ / triposg pipeline.__call__)
+logging.basicConfig(level=logging.INFO, format="%(message)s")
 
 
 def main() -> None:
