@@ -59,6 +59,21 @@ class ActionMeshInput:
                 f"Number of frames ({len(self.frames)}) must match "
                 f"timesteps ({self.timesteps.shape[0]})"
             )
+        # Stage II's subdivision count is int(t_max - t_min + 1)
+        # (reference embeddings.py:244-249): non-unit-spaced timesteps
+        # yield interpolated output timesteps that coincide with no input
+        # frame, so the animation's frame<->mesh correspondence breaks.
+        # The reference only ever feeds frame indices; warn, don't reject.
+        if self.timesteps.shape[0] > 1:
+            gaps = np.diff(self.timesteps)
+            if not np.allclose(gaps, 1.0, atol=1e-6):
+                logger.warning(
+                    "Timesteps are not unit-spaced frame indices (gaps "
+                    "%.3g..%.3g): Stage II interpolates int(span+1) output "
+                    "timesteps from min to max, which will not coincide "
+                    "with your input frames.",
+                    float(gaps.min()), float(gaps.max()),
+                )
 
     @property
     def n_frames(self) -> int:

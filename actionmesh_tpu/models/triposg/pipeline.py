@@ -91,19 +91,23 @@ def _flow_sample(
 
         def step(latents, inputs):
             t, dist = inputs
-            dt = jnp.full((B,), t, latents.dtype)
+            dt = jnp.full((B,), t, jnp.float32)
             v = triposg_dit_forward(
                 dit_params, dit_cfg, latents, context, dt,
                 attn_impl=attn_impl, mesh=mesh,
             )
-            return latents + dist * v, None
+            # fp32 Euler step, rounded once on storage (see denoise_loop)
+            stepped = latents.astype(jnp.float32) + dist * v.astype(jnp.float32)
+            return stepped.astype(latents.dtype), None
 
         final, _ = jax.lax.scan(
             step,
             init_noise,
+            # schedule stays fp32 (bf16 would quantize t by up to 4 near
+            # t=1000 before the fp32 embedding sees it)
             (
-                timesteps[:-1].astype(init_noise.dtype),
-                distances.astype(init_noise.dtype),
+                timesteps[:-1].astype(jnp.float32),
+                distances.astype(jnp.float32),
             ),
         )
         return final
@@ -125,21 +129,22 @@ def _flow_sample(
             hidden = jax.lax.with_sharding_constraint(
                 hidden, NamedSharding(mesh, P("dp"))
             )
-        dt = jnp.full((2 * B,), t, latents.dtype)
+        dt = jnp.full((2 * B,), t, jnp.float32)
         pred = triposg_dit_forward(
             dit_params, dit_cfg, hidden, context_g, dt, attn_impl=attn_impl,
             mesh=mesh, uncond_batch=B,
         )
-        uncond, cond = jnp.split(pred, 2, axis=0)
+        uncond, cond = jnp.split(pred.astype(jnp.float32), 2, axis=0)
         v = uncond + guidance_scale * (cond - uncond)
-        return latents + dist * v, None
+        stepped = latents.astype(jnp.float32) + dist * v
+        return stepped.astype(latents.dtype), None
 
     final, _ = jax.lax.scan(
         step,
         init_noise,
         (
-            timesteps[:-1].astype(init_noise.dtype),
-            distances.astype(init_noise.dtype),
+            timesteps[:-1].astype(jnp.float32),
+            distances.astype(jnp.float32),
         ),
     )
     return final

@@ -47,7 +47,19 @@ def chunk_from(start: int, total: int, size: int, slide: int) -> list[np.ndarray
 
     Matches reference semantics exactly, incl. the total==size special case
     that puts the anchor first (timesteps.py:94-97).
+
+    ``total < size`` raises: the reference's clamps go negative there and
+    both its torch indexing and numpy's would silently wrap to the LAST
+    frames (corrupting the AR window); the region is unreachable in
+    reference usage (>=16-frame input guard with window size 16), so
+    failing fast on the config error loses no parity (r5 review finding).
     """
+    if total < size:
+        raise ValueError(
+            f"AR window size ({size}) exceeds the sequence length "
+            f"({total}) — lower temporal_context_size or provide more "
+            "frames"
+        )
     context = size - slide
 
     if total == size:

@@ -143,7 +143,7 @@ def denoise_window(
                         latents,
                         context_g[sl],
                         framestep_g[sl],
-                        jnp.full((B,), t, dtype=compute_dtype),
+                        jnp.full((B,), t, dtype=jnp.float32),
                         mask=mask_f[sl] if mask_f is not None else None,
                         freqs_rot=branch_freqs,
                         attn_impl=attn_impl,
@@ -153,7 +153,7 @@ def denoise_window(
             pred = jnp.concatenate(preds, axis=0)
         else:
             hidden = _dp(jnp.concatenate([latents] * g, axis=0))
-            diffusion_time = jnp.full((g * B,), t, dtype=compute_dtype)
+            diffusion_time = jnp.full((g * B,), t, dtype=jnp.float32)
             pred = denoiser_forward(
                 params,
                 dcfg,
@@ -168,10 +168,15 @@ def denoise_window(
                 uncond_batch=guidance.leading_uncond_image_branches * B,
             )
         pred = guidance.aggregate_cfg(pred)
+        # Euler step in fp32: dist is exact (a bf16 dist carries ~0.4%
+        # systematic step-length error) and the sum rounds once on
+        # storage; XLA fuses the casts into the update (r5 review)
+        pred32 = pred.astype(jnp.float32)
+        lat32 = latents.astype(jnp.float32)
         if is_additive:
-            stepped = latents + dist * pred
+            stepped = (lat32 + dist * pred32).astype(compute_dtype)
         else:
-            stepped = latents - dist * pred
+            stepped = (lat32 - dist * pred32).astype(compute_dtype)
         if unobserved is not None:
             latents = jnp.where(
                 unobserved[..., None, None], stepped, latents
@@ -183,7 +188,10 @@ def denoise_window(
     final, _ = jax.lax.scan(
         step,
         init_latent,
-        (timesteps[:-1].astype(compute_dtype), distances.astype(compute_dtype)),
+        # schedule stays fp32: casting t/dist to bf16 would quantize the
+        # diffusion-time conditioning (ulp 4 near t=1000) and the step
+        # lengths before the fp32 embedding math sees them (r5 review)
+        (timesteps[:-1].astype(jnp.float32), distances.astype(jnp.float32)),
     )
     return final
 

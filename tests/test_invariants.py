@@ -73,3 +73,37 @@ class TestDeformationExport:
         b = Mesh(np.vstack([v, [[0, 0, 1]]]), np.array([[0, 1, 3]]))
         with pytest.raises(ValueError, match="vertices|topology"):
             save_deformation([a, b], tmp_path / "out.glb")
+
+
+class TestChunkingContract:
+    def test_window_larger_than_sequence_raises(self):
+        # reference clamps go negative for total < size and torch/numpy
+        # indexing would silently wrap to the LAST frames; unreachable in
+        # reference usage, so we fail fast instead (r5 review)
+        from actionmesh_tpu.ops.chunking import chunk_from
+
+        with pytest.raises(ValueError, match="exceeds the sequence length"):
+            chunk_from(4, 8, 16, 15)
+        with pytest.raises(ValueError, match="exceeds the sequence length"):
+            chunk_from(3, 5, 6, 2)
+
+    def test_non_unit_timesteps_warn(self, caplog):
+        import logging as _logging
+
+        with caplog.at_level(_logging.WARNING,
+                             logger="actionmesh_tpu.io.video_input"):
+            ActionMeshInput(
+                frames=_frames(16),
+                timesteps=np.arange(16, dtype=np.float32) * 0.5,
+            )
+        assert any("not unit-spaced" in r.message for r in caplog.records)
+
+    def test_unit_timesteps_do_not_warn(self, caplog):
+        import logging as _logging
+
+        with caplog.at_level(_logging.WARNING,
+                             logger="actionmesh_tpu.io.video_input"):
+            ActionMeshInput(
+                frames=_frames(16), timesteps=np.arange(16, dtype=np.float32)
+            )
+        assert not [r for r in caplog.records if "not unit-spaced" in r.message]
