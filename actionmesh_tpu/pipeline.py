@@ -502,7 +502,15 @@ class ActionMeshPipeline:
         mesh_bank: MeshBank,
         step_callback: Optional[WindowStepCallback] = None,
     ) -> MeshBank:
-        """Stage II over AR windows: latents -> deformed meshes."""
+        """Stage II over AR windows: latents -> deformed meshes.
+
+        Reference-parity note (kept deliberately): interpolate_timesteps
+        always spans min->max and ``drop_first`` drops the MIN
+        (ref:embeddings.py:234-241), so for anchor_idx > 0 the LEFT
+        (descending) windows drop their earliest frame — the reference
+        never decodes a mesh for frame 0 when anchoring mid-video, and
+        neither do we (verified against ref:pipeline.py:539-565).
+        """
         ar_windows = chunk_from(
             start=self.cfg.anchor_idx,
             total=latent_bank.n_timesteps,
