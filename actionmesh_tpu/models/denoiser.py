@@ -20,6 +20,7 @@ one XLA program; the denoising loop scans over it (sampling/denoise_loop.py).
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import Optional
 
 import jax
@@ -43,6 +44,8 @@ from actionmesh_tpu.ops.tensor_ops import (
     merge_batch_time,
     split_batch_time,
 )
+
+logger = logging.getLogger(__name__)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -73,6 +76,18 @@ class DenoiserConfig:
 def init_denoiser(
     key: jax.Array, cfg: DenoiserConfig, dtype: jnp.dtype = jnp.float32
 ) -> Params:
+    # U-ViT long skips pair layer i with layer L-1-i around the middle
+    # block. An even layer count is self-consistent (each skip block pops
+    # a pushed value; params match) but asymmetric: layer 0's push is
+    # never consumed and pairings shift by one (r5 review). The reference
+    # architecture is odd (21); warn so toy/closed-loop specs with even
+    # counts keep working knowingly.
+    if cfg.num_layers % 2 == 0:
+        logger.warning(
+            "num_layers=%d is even: U-skip pairing is asymmetric (layer "
+            "0's skip is unused); the reference architecture uses odd "
+            "depths (21).", cfg.num_layers,
+        )
     keys = jax.random.split(key, cfg.num_layers + 4)
     tkey1, tkey2, pkey_in, pkey_out = keys[:4]
     params: Params = {

@@ -247,6 +247,7 @@ def attention(
         and mesh is None
         and "bias" not in params["to_q"]
         and "bias" not in params["to_k"]
+        and "bias" not in params["to_v"]
     ):
         # One (D, 3D) matmul instead of three (lever): XLA does not merge
         # sibling gemms itself. The concat re-materializes 3*D*D weights
