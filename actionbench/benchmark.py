@@ -9,7 +9,6 @@ ICP runs batched+jitted on device (icp.py); chamfer is host KDTree.
 
 from __future__ import annotations
 
-import logging
 
 import numpy as np
 
@@ -21,8 +20,6 @@ from actionbench.icp import Transform, gradient_icp_multi
 from actionbench.sample_mesh import sample_meshes
 from actionbench.sample_point_cloud import sample_point_cloud
 from actionmesh_tpu.io.mesh import Mesh
-
-logger = logging.getLogger(__name__)
 
 
 def _compute_per_frame_icp(

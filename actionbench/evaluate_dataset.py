@@ -195,7 +195,12 @@ def load_existing_results(output_csv: Path) -> dict[str, SampleResult]:
             cd_motion=row["cd_motion"],
             n_frames=row["n_frames"],
             status=row["status"],
-            error_message=str(row.get("error_message", "") or ""),
+            # pandas reads empty cells as float NaN, which is truthy —
+            # `or ""` would stringify it to the literal "nan" (r5 review)
+            error_message=(
+                "" if pd.isna(row.get("error_message"))
+                else str(row.get("error_message"))
+            ),
         )
     return results
 

@@ -104,24 +104,6 @@ def _nn_indices(x: jnp.ndarray, y: jnp.ndarray, chunk: int = 2048) -> jnp.ndarra
     return jnp.moveaxis(idx, 0, 1).reshape(R, -1)[:, :N]
 
 
-def _chamfer_mean_sq(
-    a: jnp.ndarray, b: jnp.ndarray, chunk: int = 2048
-) -> jnp.ndarray:
-    """Per-batch symmetric mean squared chamfer (pytorch3d convention).
-
-    NN indices found under stop_gradient; the loss differentiates through
-    the gathered pairs — the same gradient autodiff of min() yields (the
-    argmin pair) at a fraction of the backward cost.
-    """
-
-    def one_direction(x, y):
-        idx = _nn_indices(x, y, chunk=chunk)
-        nn = jnp.take_along_axis(y, idx[..., None], axis=1)
-        return jnp.mean(jnp.sum(jnp.square(x - nn), axis=-1), axis=-1)
-
-    return one_direction(a, b) + one_direction(b, a)
-
-
 @dataclasses.dataclass
 class Transform:
     """Affine transform p' = s * p @ R + T (row-vector convention)."""
@@ -268,9 +250,13 @@ def _icp_optimize(
                 m = improved.reshape((K,) + (1,) * (old.ndim - 1))
                 return jnp.where(m, new, old)
 
+            # reference parity (ref:actionbench/icp.py:97-106): the clone
+            # happens AFTER opt.step(), so T/s are the POST-update
+            # parameters while R (a pre-step composed tensor) is pre-step
             best = jax.tree.map(
                 pick,
-                {"R": R_[arg], "T": params["T"][arg], "s": params["s"][arg]},
+                {"R": R_[arg], "T": new_params["T"][arg],
+                 "s": new_params["s"][arg]},
                 best,
             )
             best_loss = jnp.minimum(best_loss, min_loss)
@@ -311,7 +297,10 @@ def gradient_icp_multi(
     nn_chunk = max(128, (2048 // K) // 128 * 128)
     # keep per-launch device time roughly constant as K grows
     seg_rounds = max(1, min(rounds_per_launch, rounds_per_launch * 4 // K))
-    rounds_total = -(-n_iter // nn_every)
+    # exactly n_iter Adam iterations (reference contract): full rounds of
+    # nn_every steps, plus one shorter final round for the remainder —
+    # ceil alone would overshoot to nn_every * ceil(n_iter/nn_every)
+    rounds_total, rem_steps = divmod(n_iter, nn_every)
     done = 0
     while done < rounds_total:
         seg = min(seg_rounds, rounds_total - done)
@@ -320,6 +309,11 @@ def gradient_icp_multi(
             nn_every=nn_every, nn_chunk=nn_chunk,
         )
         done += seg
+    if rem_steps:
+        carry = _icp_optimize(
+            pred, gt, r_init, carry, lr=lr, n_rounds=1,
+            nn_every=rem_steps, nn_chunk=nn_chunk,
+        )
     best = carry[3]
     return Transform(
         R=np.asarray(best["R"], np.float64),

@@ -35,7 +35,14 @@ def get_baryc_sampling_mesh(
         raise ValueError("Meshes contain nan or inf.")
     rng = np.random.RandomState(seed)
     _, areas = mesh.face_normals_and_areas()
-    probs = areas / areas.sum()
+    total_area = areas.sum()
+    if total_area <= 0:
+        # reference parity: torch.multinomial raises on an all-zero weight
+        # vector, marking the sample status='error'; a NaN cdf here would
+        # instead silently sample every point from face 0 and score a
+        # collapsed mesh as success (r5 review)
+        raise ValueError("Meshes are degenerate: total face area is zero.")
+    probs = areas / total_area
     # inverse-CDF sampling: ~10x faster than rng.choice(p=...) at 100k draws
     cdf = np.cumsum(probs)
     cdf[-1] = 1.0
