@@ -23,6 +23,8 @@ freeze (sampling/denoise_loop.py).
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 import queue
 import threading
 from dataclasses import dataclass
@@ -119,18 +121,27 @@ class ClipWindowDataset:
             raise ValueError(
                 f"no clip under {self.data_dir} has >= {window} frames"
             )
-        self._cache_path: Optional[Path] = None
-        self._cache: Optional[dict] = None
+        # small LRU of decoded clips: flow_batches shuffles windows across
+        # clips, so a single-clip cache would miss on nearly every access
+        # and re-decompress a whole clip per SAMPLE (r5 review); a few
+        # clips cover a shuffled batch's typical working set
+        self._cache: "OrderedDict[Path, dict]" = OrderedDict()
+        self._cache_clips = 8
 
     def __len__(self) -> int:
         return len(self._windows)
 
     def _load(self, path: Path) -> dict:
-        if path != self._cache_path:  # one-clip cache: hits are sequential
-            with np.load(path) as z:
-                self._cache = {k: z[k] for k in ("latents", "context", "framestep")}
-            self._cache_path = path
-        return self._cache
+        hit = self._cache.get(path)
+        if hit is not None:
+            self._cache.move_to_end(path)
+            return hit
+        with np.load(path) as z:
+            clip = {k: z[k] for k in ("latents", "context", "framestep")}
+        self._cache[path] = clip
+        if len(self._cache) > self._cache_clips:
+            self._cache.popitem(last=False)
+        return clip
 
     def __getitem__(self, idx: int) -> dict:
         w = self._windows[idx]

@@ -18,8 +18,10 @@ on the same SPMD training step machinery as flow_train.py:
     consecutive teacher Euler steps of the production shift-3 schedule in
     one step. The halved schedule aligns exactly with every second point
     of the full one (``get_schedule`` linspaces between fixed endpoints,
-    then applies a pointwise shift), so each round exactly halves
-    ``stage_1_steps``: 30 -> 15 -> 8 -> 4.
+    then applies a pointwise shift), so each round exactly halves an EVEN
+    ``stage_1_steps``: 16 -> 8 -> 4 (or 30 -> 15, one round — 15 is odd,
+    so further exact halving stops there; progressive_distill_loss
+    rejects odd teacher step counts).
 
 Inference integration needs no new machinery: a distilled checkpoint runs
 with guidance branches ``[[1, 1]]`` (single conditional branch,

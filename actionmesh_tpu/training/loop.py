@@ -16,6 +16,7 @@ synchronization points are log lines and checkpoints.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import time
 from dataclasses import dataclass
@@ -41,6 +42,8 @@ from actionmesh_tpu.training.flow_train import (
     init_train_state,
     make_train_step,
 )
+
+logger = logging.getLogger(__name__)
 
 
 @dataclass(frozen=True)
@@ -196,7 +199,20 @@ def _run_loop(
         t0 = time.perf_counter()
 
     last_eval = -1
+    # best-eval state persists across resume: without the sidecar, a
+    # restarted run starts from best_eval={} and the first (possibly
+    # overfit, worse) post-resume eval overwrites ckpt_best.npz
+    # (r5 review)
+    best_path = out_dir / "best_eval.json"
     best_eval: dict[str, float] = {}
+    if cfg.resume and best_path.exists():
+        try:
+            best_eval = {
+                k: float(v) for k, v in json.loads(best_path.read_text()).items()
+            }
+        except (ValueError, OSError):
+            logger.warning("could not parse %s; best-eval tracking resets",
+                           best_path)
 
     def run_eval(step: int) -> None:
         nonlocal last_eval
@@ -219,6 +235,9 @@ def _run_loop(
                 if rec[key] < best_eval.get(key, float("inf")):
                     best_eval[key] = rec[key]
                     _save_ckpt(state, out_dir, name=name)
+                    tmp = out_dir / ".best_eval.json"
+                    tmp.write_text(json.dumps(best_eval))
+                    os.replace(tmp, best_path)
                     if key == cfg.best_metric:
                         rec["best"] = True
         with log_path.open("a") as fh:
@@ -539,8 +558,9 @@ def run_distillation(
 
     ``mode`` "guidance" regresses the teacher's CFG-guided velocity into a
     single conditional forward; "progressive" halves the Euler step count
-    (``num_teacher_steps`` -> ``num_teacher_steps // 2``; chain rounds for
-    30 -> 15 -> 8 -> 4). The student initializes FROM the teacher (the
+    (``num_teacher_steps`` -> ``num_teacher_steps // 2``; chain rounds over
+    EVEN counts, e.g. 16 -> 8 -> 4 — odd teacher counts are rejected,
+    so 30 supports exactly one round, 30 -> 15). The student initializes FROM the teacher (the
     standard warm start) unless ``student_params`` is given. Loop/IO
     contract matches run_flow_training; ``eval_batches`` reports the same
     distillation loss on held-out data with deterministic draws.

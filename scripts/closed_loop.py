@@ -92,16 +92,25 @@ def _invalidate_stale_train_state(root: Path) -> None:
     """Remove Stage-I/II train state fit to a superseded latent definition.
 
     Re-encoding the clips (stage0 phase) changes what the latents MEAN:
-    any train_flow*/train_decoder* directory under the root was fit to the
-    old latents, and the resumable train loop would silently resume from
-    (and immediately finish at) its final step instead of retraining."""
-    for stale in sorted(root.glob("train_flow*")) + sorted(
-        root.glob("train_decoder*")
-    ):
-        if stale.is_dir():
-            shutil.rmtree(stale)
-            logger.info("removed stale train state %s (latents re-encoded)",
-                        stale.name)
+    any train/distill state or exported checkpoint under the root was fit
+    to the old latents, and the resumable train loop would silently resume
+    from (and immediately finish at) its final step instead of retraining
+    — including distill_*/ dirs and exported ckpt*/ dirs, which a later
+    `distill`/`eval` phase would otherwise consume stale (r5 review)."""
+    stale_globs = (
+        "train_flow*", "train_decoder*", "train_dit*", "distill_*", "ckpt*"
+    )
+    # artifacts the CALLING stage0 phase just produced with the NEW VAE —
+    # never stale at this point in the phase
+    fresh = {"train_vae", "ckpt_stage0"}
+    for pattern in stale_globs:
+        for stale in sorted(root.glob(pattern)):
+            if stale.is_dir() and stale.name not in fresh:
+                shutil.rmtree(stale)
+                logger.info(
+                    "removed stale train state %s (latents re-encoded)",
+                    stale.name,
+                )
 
 
 def phase_stage0(root: Path, args) -> None:

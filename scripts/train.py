@@ -67,8 +67,8 @@ def build_args() -> argparse.ArgumentParser:
         choices=("guidance", "progressive"),
         default="guidance",
         help="distill stage: collapse the CFG pair (guidance) or halve the "
-        "Euler step count (progressive); chain progressive rounds for "
-        "30 -> 15 -> 8 -> 4 steps",
+        "Euler step count (progressive); chain progressive rounds over even "
+        "counts, e.g. 16 -> 8 -> 4 (odd teacher counts are rejected)",
     )
     p.add_argument(
         "--teacher",
@@ -312,7 +312,14 @@ def main(argv=None) -> int:
         # anchor latent has no banked frames to condition on)
         if args.model == "stage0":
             args.window = 1
-        n_cond = 0 if args.model == "stage0" else 1
+        # Inference AR windows condition on 1..window-1 banked frames (the
+        # tail window clamps, pipeline chunk_right), so TRAINING must cover
+        # that whole mask family, matching the closed-loop driver; eval
+        # batches pin n_cond=1 for a stable comparable metric (r5 review).
+        n_cond = 0 if args.model == "stage0" else (
+            (1, args.window - 1) if args.window > 2 else 1
+        )
+        n_cond_eval = 0 if args.model == "stage0" else 1
         if args.synthetic:
             data_dir = synthesize_clip_dir(
                 Path(tempfile.mkdtemp(prefix="am_synth_clips_")),
@@ -338,7 +345,7 @@ def main(argv=None) -> int:
                 itertools.islice(
                     flow_batches(
                         eval_ds, min(args.batch, len(eval_ds)), seed=0,
-                        epochs=1, n_cond_frames=n_cond,
+                        epochs=1, n_cond_frames=n_cond_eval,
                     ),
                     args.eval_batches,
                 )
